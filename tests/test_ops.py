@@ -1,0 +1,269 @@
+"""Unit tests for the on-device signal kernels against numpy/scipy golden values."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volpick_tpu.ops import (
+    demean,
+    detrend_linear,
+    normalize_amplitude,
+    window_starts,
+    frame_windows,
+    overlap_stack,
+    steered_window_indices,
+    trigger_onset_numpy,
+    extract_picks_batched,
+    probabilistic_labels,
+    detection_labels,
+    frequency_index,
+    snr_db,
+)
+from volpick_tpu.ops.signal import sosfilt, sosfilt_coeffs_bandpass, resample_poly_device
+from volpick_tpu.ops.triggers import picks_from_prob_numpy
+from volpick_tpu.ops.labels import renormalize_labels
+from volpick_tpu.ops.windows import pad_frame
+
+
+class TestSignal:
+    def test_demean(self, rng):
+        x = rng.normal(size=(4, 3, 100)).astype(np.float32)
+        y = np.asarray(demean(jnp.asarray(x)))
+        np.testing.assert_allclose(y.mean(-1), 0, atol=1e-5)
+
+    def test_detrend_matches_scipy(self, rng):
+        from scipy.signal import detrend
+
+        x = rng.normal(size=(2, 3, 256)).astype(np.float64) + np.linspace(0, 5, 256)
+        y = np.asarray(detrend_linear(jnp.asarray(x)))
+        ref = detrend(x, axis=-1, type="linear")
+        np.testing.assert_allclose(y, ref, atol=1e-5)  # jax default float32
+
+    def test_peak_norm_per_channel(self, rng):
+        x = rng.normal(size=(2, 3, 50)).astype(np.float32) * 100
+        y = np.asarray(normalize_amplitude(jnp.asarray(x), "peak", per_channel=True))
+        np.testing.assert_allclose(np.abs(y).max(-1), 1.0, rtol=1e-4)
+
+    def test_std_norm_joint(self, rng):
+        x = rng.normal(size=(2, 3, 50)).astype(np.float64)
+        y = np.asarray(normalize_amplitude(jnp.asarray(x), "std"))
+        for i in range(2):
+            np.testing.assert_allclose(y[i].std(), 1.0, rtol=1e-3)
+
+    def test_sosfilt_matches_scipy_x64(self, rng):
+        from scipy.signal import sosfilt as scipy_sosfilt
+        import jax
+
+        sos = sosfilt_coeffs_bandpass(1.0, 20.0, 100.0)
+        x = rng.normal(size=(2, 3, 400)).astype(np.float64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            y = np.asarray(sosfilt(jnp.asarray(x, dtype=jnp.float64), sos))
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        ref = scipy_sosfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(y, ref, atol=1e-10)
+
+    def test_sosfilt_float32_wideband(self, rng):
+        # float32 biquads are accurate away from extreme band edges
+        from scipy.signal import sosfilt as scipy_sosfilt
+
+        sos = sosfilt_coeffs_bandpass(5.0, 15.0, 100.0, order=2)
+        x = rng.normal(size=(2, 3, 400)).astype(np.float32)
+        y = np.asarray(sosfilt(jnp.asarray(x), sos))
+        ref = scipy_sosfilt(sos.astype(np.float32), x, axis=-1)
+        np.testing.assert_allclose(y, ref, atol=2e-3)
+
+    def test_resample_poly_close_to_scipy(self, rng):
+        from scipy.signal import resample_poly
+
+        t = np.arange(1000) / 200.0
+        x = np.sin(2 * np.pi * 5 * t)[None, None, :]
+        y = np.asarray(resample_poly_device(jnp.asarray(x), 1, 2))
+        ref = resample_poly(x, 1, 2, axis=-1)
+        assert y.shape[-1] == ref.shape[-1]
+        # interior samples agree closely (edges differ by FIR boundary handling)
+        np.testing.assert_allclose(y[..., 50:-50], ref[..., 50:-50], atol=5e-3)
+
+
+class TestWindows:
+    def test_window_starts_cover(self):
+        starts = window_starts(10000, 6000, 5500)
+        assert starts[0] == 0
+        assert starts[-1] + 6000 == 10000
+        assert np.all(np.diff(starts) <= 500)
+
+    def test_window_starts_short(self):
+        assert list(window_starts(100, 3001, 1500)) == [0]
+
+    def test_frame_and_stack_roundtrip(self, rng):
+        total = 9000
+        window, overlap = 3001, 1500
+        x = rng.normal(size=(3, total)).astype(np.float32)
+        starts = window_starts(total, window, overlap)
+        frames = frame_windows(jnp.asarray(x), jnp.asarray(starts), window)
+        assert frames.shape == (len(starts), 3, window)
+        # stacking identical content back = original where covered
+        out = overlap_stack(frames, jnp.asarray(starts), total, blinding=(0, 0))
+        np.testing.assert_allclose(np.asarray(out), x, atol=1e-5)
+
+    def test_overlap_stack_avg_blinding(self):
+        # two windows of constant value 1 and 3 overlapping half-way
+        window, total = 8, 12
+        preds = np.stack([np.full((1, window), 1.0), np.full((1, window), 3.0)])
+        starts = np.array([0, 4])
+        out = np.asarray(
+            overlap_stack(jnp.asarray(preds, dtype=jnp.float32), jnp.asarray(starts), total, blinding=(1, 1))
+        )[0]
+        # samples covered by only window0: value 1; overlap: 2; only window1: 3
+        assert out[2] == 1.0
+        np.testing.assert_allclose(out[5], 2.0)
+        assert out[10] == 3.0
+        # blinded-out, uncovered edges → 0
+        assert out[0] == 0.0
+
+    def test_overlap_stack_max(self):
+        window, total = 4, 8
+        preds = np.zeros((2, 1, window), dtype=np.float32)
+        preds[0, 0, :] = 0.5
+        preds[1, 0, :] = 0.9
+        out = np.asarray(
+            overlap_stack(jnp.asarray(preds), jnp.asarray(np.array([0, 2])), total, stacking="max")
+        )[0]
+        assert out[3] == pytest.approx(0.9)
+        assert out[0] == pytest.approx(0.5)
+
+    def test_steered_window(self):
+        w0, lo, hi = steered_window_indices(10000, np.array([4000]), np.array([7000]), 3001)
+        assert lo[0] >= 0 and hi[0] - lo[0] == 3000
+        assert 0 <= w0[0] <= 10000 - 3001
+        # short trace → pad
+        w0, lo, hi = steered_window_indices(2000, np.array([0]), np.array([2000]), 3001)
+        assert w0[0] == 0
+
+    def test_pad_frame(self):
+        data = np.arange(12, dtype=np.float32).reshape(2, 6)
+        out = pad_frame(data, -2, 6)
+        assert out.shape == (2, 6)
+        np.testing.assert_array_equal(out[0], [0, 0, 0, 1, 2, 3])
+
+
+class TestTriggers:
+    def test_trigger_onset_basic(self):
+        prob = np.array([0.0, 0.2, 0.6, 0.8, 0.3, 0.1, 0.0, 0.6, 0.9, 0.0])
+        trig = trigger_onset_numpy(prob, 0.5, 0.25)
+        assert trig == [(2, 4), (7, 8)]
+        # strictly-greater comparison: 0.5 does not cross thres1=0.5
+        prob2 = np.array([0.0, 0.3, 0.5, 0.3, 0.0])
+        assert trigger_onset_numpy(prob2, 0.5, 0.25) == []
+
+    def test_trigger_onset_subthreshold_run(self):
+        prob = np.array([0.0, 0.3, 0.4, 0.3, 0.0])  # never above thres1
+        assert trigger_onset_numpy(prob, 0.5, 0.25) == []
+
+    def test_device_matches_numpy_oracle(self, rng):
+        # random smooth probability curves
+        from scipy.ndimage import gaussian_filter1d
+
+        b, w = 16, 512
+        prob = gaussian_filter1d(rng.random((b, w)), 8, axis=-1).astype(np.float32)
+        prob = prob / prob.max(axis=-1, keepdims=True)
+        thr = 0.8
+        idx, val, valid = extract_picks_batched(jnp.asarray(prob), thr, max_picks=16)
+        idx, val, valid = np.asarray(idx), np.asarray(val), np.asarray(valid)
+        for i in range(b):
+            ref_idx, ref_val = picks_from_prob_numpy(prob[i], thr)
+            got = idx[i][valid[i]]
+            np.testing.assert_array_equal(got, ref_idx[:16])
+            np.testing.assert_allclose(val[i][valid[i]], ref_val[:16], rtol=1e-5)
+
+    def test_device_edge_cases(self):
+        # trigger still on at end; trigger on at start
+        prob = np.array([[0.9, 0.8, 0.1, 0.0, 0.3, 0.6, 0.7, 0.7]], dtype=np.float32)
+        idx, val, valid = extract_picks_batched(jnp.asarray(prob), 0.5, max_picks=4)
+        ref_idx, ref_val = picks_from_prob_numpy(prob[0], 0.5)
+        np.testing.assert_array_equal(np.asarray(idx)[0][np.asarray(valid)[0]], ref_idx)
+
+
+class TestLabels:
+    def test_gaussian_peak_one(self):
+        onsets = jnp.asarray(np.array([[100.0, 200.0]]))
+        y = np.asarray(probabilistic_labels(onsets, 300, sigma=20))
+        assert y.shape == (1, 3, 300)
+        assert y[0, 0, 100] == pytest.approx(1.0)
+        assert y[0, 1, 200] == pytest.approx(1.0)
+        # gaussian value at 1 sigma
+        assert y[0, 0, 120] == pytest.approx(np.exp(-0.5), rel=1e-5)
+        # noise row complements
+        np.testing.assert_allclose(
+            y[0, 2], np.clip(1 - y[0, 0] - y[0, 1], 0, 1), atol=1e-6
+        )
+
+    def test_absent_phase_zero(self):
+        onsets = jnp.asarray(np.array([[np.nan, 150.0]]))
+        y = np.asarray(probabilistic_labels(onsets, 300, sigma=10))
+        assert y[0, 0].max() == 0.0
+        assert y[0, 1].max() == pytest.approx(1.0)
+
+    def test_triangle_box(self):
+        onsets = jnp.asarray(np.array([[50.0]]))
+        tri = np.asarray(probabilistic_labels(onsets, 100, sigma=10, shape="triangle", noise_column=False))
+        assert tri[0, 0, 50] == pytest.approx(1.0)
+        assert tri[0, 0, 60] == pytest.approx(0.0, abs=1e-6)
+        assert tri[0, 0, 55] == pytest.approx(0.5)
+        box = np.asarray(probabilistic_labels(onsets, 100, sigma=10, shape="box", noise_column=False))
+        assert box[0, 0, 40:61].min() == 1.0
+        assert box[0, 0, 39] == 0.0
+
+    def test_detection_labels(self):
+        det = np.asarray(detection_labels(jnp.asarray([100.0]), jnp.asarray([200.0]), 600))
+        assert det.shape == (1, 1, 600)
+        # span [100, 200 + 1.4*100] = [100, 340]
+        assert det[0, 0, 100] == 1.0 and det[0, 0, 340] == 1.0
+        assert det[0, 0, 99] == 0.0 and det[0, 0, 341] == 0.0
+
+    def test_renormalize(self):
+        y = np.zeros((1, 3, 10), dtype=np.float32)
+        y[0, 0, 5] = 0.8
+        y[0, 1, 5] = 0.5
+        out = np.asarray(renormalize_labels(jnp.asarray(y)))
+        assert out[0, 2, 5] == 0.0  # clipped at 0
+        assert out[0, 2, 0] == 1.0
+
+
+class TestFeatures:
+    def test_frequency_index_matches_reference_formula(self, rng):
+        from scipy.fft import fft, fftfreq
+        from scipy.signal import windows as sw
+
+        x = rng.normal(size=2000)
+        dt = 0.01
+        n = len(x)
+        spec = fft(x * sw.hann(n))[: n // 2]
+        freq = fftfreq(n, dt)[: n // 2]
+        hi = np.logical_and(freq > 10, freq < 15)
+        lo = np.logical_and(freq > 1, freq < 5)
+        ref = np.log10(np.mean(np.abs(spec)[hi]) / np.mean(np.abs(spec)[lo]))
+        got = float(frequency_index(jnp.asarray(x), dt))
+        assert got == pytest.approx(ref, abs=1e-4)
+
+    def test_snr_matches_reference_formula(self, rng):
+        x = rng.normal(size=(2, 3, 3000))
+        x[:, :, 1000:] *= 10  # signal after P
+        p = np.array([1000.0, 1000.0])
+        s = np.array([1500.0, np.nan])
+        snrs, mean = snr_db(jnp.asarray(x), jnp.asarray(p), jnp.asarray(s), winlen=500)
+        snrs = np.asarray(snrs)
+        # manual reference computation, trace 0 (has S)
+        noi = np.percentile(np.abs(x[0, 0, 500:1000]), 95)
+        sig = np.percentile(np.abs(x[0, 0, 1500:2000]), 95)
+        assert snrs[0, 0] == pytest.approx(20 * np.log10(sig / noi), abs=0.05)
+        # trace 1 (no S): signal window starts at P
+        noi = np.percentile(np.abs(x[1, 1, 500:1000]), 95)
+        sig = np.percentile(np.abs(x[1, 1, 1000:1500]), 95)
+        assert snrs[1, 1] == pytest.approx(20 * np.log10(sig / noi), abs=0.05)
+
+    def test_snr_no_p_is_nan(self):
+        x = np.ones((1, 3, 100))
+        snrs, mean = snr_db(jnp.asarray(x), jnp.asarray([np.nan]), jnp.asarray([np.nan]))
+        assert np.all(np.isnan(np.asarray(snrs)))
