@@ -1,0 +1,306 @@
+"""EQTransformer (Mousavi et al. 2020) in functional JAX.
+
+Architecture pinned by the shipped volpick weights
+(`/root/reference/Final_models/volpick/eqtransformer/volpick.pt.v1`, SURVEY §2.5):
+
+- shared encoder: 7 convs (3→8→16→16→32→32→64→64, k 11/9/7/7/5/5/3), each
+  followed by max-pool 2 (6000 → 47 samples; pool 4 pads 1 on 375-length maps);
+- 7 pre-activation residual CNN blocks (BN eps 1e-3 → relu → conv, kernels
+  3/3/3/3/2/3/2; even kernels pad (0,1) right — keras asymmetric 'same');
+- 3 BiLSTM blocks (hidden 16; 1×1 conv 32→16 + BN after each);
+- 2 additive-attention transformer blocks (residual + keras LayerNorm with
+  (16,1) γ/β over channels, FF 16→128→16);
+- detection branch: 7-conv upsampling decoder (16→…→8, kernels mirrored) +
+  sigmoid 1×1×11 conv;
+- two pick branches (P, S): LSTM(16→16) + width-3 additive attention +
+  decoder + sigmoid conv.
+
+Forward returns (detection, P, S), each (B, 6000). ZNE, norm 'peak' for the
+volpick weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volpick_tpu.models.layers import (
+    batch_norm,
+    bilstm,
+    conv1d,
+    conv1d_same,
+    dropout,
+    layer_norm_keras,
+    lstm,
+    max_pool1d,
+    seq_self_attention,
+    spatial_dropout1d,
+    upsample_nearest,
+)
+
+_BN_EPS = 1e-3
+_LN_EPS = 1e-14
+_ATTN_EPS = 1e-5
+
+
+def _encoder_pool_paddings(in_samples: int, n_layers: int) -> List[int]:
+    """Per-layer max-pool paddings: odd-length maps pad by 1 (keras 'same' pooling)."""
+    pads = []
+    cur = in_samples
+    for _ in range(n_layers):
+        p = cur % 2
+        pads.append(p)
+        cur = (cur + p) // 2
+    return pads
+
+
+def _decoder_crops(out_samples: int, n_layers: int) -> List[int]:
+    """Decoder layers (by index) that must drop one trailing sample after 2× upsampling."""
+    crops = []
+    cur = out_samples
+    for i in range(n_layers):
+        p = cur % 2
+        cur = (cur + p) // 2
+        if p == 1:
+            crops.append(n_layers - 1 - i)
+    return crops
+
+
+@dataclasses.dataclass
+class EQTransformer:
+    in_channels: int = 3
+    in_samples: int = 6000
+    classes: int = 2
+    phases: str = "PS"
+    norm: str = "peak"
+    sampling_rate: float = 100.0
+    lstm_blocks: int = 3
+    drop_rate: float = 0.1
+    component_order: str = "ZNE"
+    default_args: dict = dataclasses.field(default_factory=dict)
+    name: str = "EQTransformer"
+
+    filters: Tuple[int, ...] = (8, 16, 16, 32, 32, 64, 64)
+    kernel_sizes: Tuple[int, ...] = (11, 9, 7, 7, 5, 5, 3)
+    res_cnn_kernels: Tuple[int, ...] = (3, 3, 3, 3, 2, 3, 2)
+
+    @property
+    def labels(self) -> str:
+        return "D" + self.phases  # detection + phases
+
+    # ---- parameters ----------------------------------------------------------
+    def init(self, key: jax.Array) -> Dict:
+        keys = iter(jax.random.split(key, 256))
+
+        def conv(o, i, k):
+            bound = float(np.sqrt(6.0 / (i * k)))
+            return {
+                "w": jax.random.uniform(next(keys), (o, i, k), jnp.float32, -bound, bound),
+                "b": jnp.zeros((o,), jnp.float32),
+            }
+
+        def bn(c):
+            return {
+                "scale": jnp.ones((c,), jnp.float32),
+                "bias": jnp.zeros((c,), jnp.float32),
+                "mean": jnp.zeros((c,), jnp.float32),
+                "var": jnp.ones((c,), jnp.float32),
+            }
+
+        def lstm_p(inp, hid, bidirectional=False):
+            def mat(r, c):
+                bound = float(np.sqrt(1.0 / hid))
+                return jax.random.uniform(next(keys), (r, c), jnp.float32, -bound, bound)
+
+            p = {
+                "w_ih": mat(4 * hid, inp),
+                "w_hh": mat(4 * hid, hid),
+                "b_ih": jnp.zeros((4 * hid,), jnp.float32),
+                "b_hh": jnp.zeros((4 * hid,), jnp.float32),
+            }
+            if bidirectional:
+                p.update(
+                    w_ih_rev=mat(4 * hid, inp),
+                    w_hh_rev=mat(4 * hid, hid),
+                    b_ih_rev=jnp.zeros((4 * hid,), jnp.float32),
+                    b_hh_rev=jnp.zeros((4 * hid,), jnp.float32),
+                )
+            return p
+
+        def attention(c, units=32):
+            u = 0.02
+            return {
+                "Wx": jax.random.uniform(next(keys), (c, units), jnp.float32, -u, u),
+                "Wt": jax.random.uniform(next(keys), (c, units), jnp.float32, -u, u),
+                "bh": jnp.zeros((units,), jnp.float32),
+                "Wa": jax.random.uniform(next(keys), (units, 1), jnp.float32, -u, u),
+                "ba": jnp.zeros((1,), jnp.float32),
+            }
+
+        def transformer(c, ff_hidden=128):
+            return {
+                "attention": attention(c),
+                "norm1": {"gamma": jnp.ones((c, 1), jnp.float32), "beta": jnp.zeros((c, 1), jnp.float32)},
+                "ff": {
+                    "lin1": {
+                        "w": jax.random.uniform(next(keys), (ff_hidden, c), jnp.float32, -0.05, 0.05),
+                        "b": jnp.zeros((ff_hidden,), jnp.float32),
+                    },
+                    "lin2": {
+                        "w": jax.random.uniform(next(keys), (c, ff_hidden), jnp.float32, -0.05, 0.05),
+                        "b": jnp.zeros((c,), jnp.float32),
+                    },
+                },
+                "norm2": {"gamma": jnp.ones((c, 1), jnp.float32), "beta": jnp.zeros((c, 1), jnp.float32)},
+            }
+
+        def decoder():
+            filters = list(self.filters[::-1])
+            ks = list(self.kernel_sizes[::-1])
+            ins = [16] + filters[:-1]
+            return [conv(o, i, k) for i, o, k in zip(ins, filters, ks)]
+
+        enc_ins = [self.in_channels] + list(self.filters[:-1])
+        params: Dict = {
+            "encoder": [conv(o, i, k) for i, o, k in zip(enc_ins, self.filters, self.kernel_sizes)],
+            "res_cnn": [
+                {
+                    "norm1": bn(self.filters[-1]),
+                    "conv1": conv(self.filters[-1], self.filters[-1], k),
+                    "norm2": bn(self.filters[-1]),
+                    "conv2": conv(self.filters[-1], self.filters[-1], k),
+                }
+                for k in self.res_cnn_kernels
+            ],
+            "bilstm": [
+                {
+                    "lstm": lstm_p(self.filters[-1] if i == 0 else 16, 16, bidirectional=True),
+                    "conv": conv(16, 32, 1),
+                    "norm": bn(16),
+                }
+                for i in range(self.lstm_blocks)
+            ],
+            "transformer_d0": transformer(16),
+            "transformer_d": transformer(16),
+            "decoder_d": decoder(),
+            "conv_d": conv(1, self.filters[0], 11),
+            "pick_lstms": [lstm_p(16, 16) for _ in self.phases],
+            "pick_attentions": [attention(16) for _ in self.phases],
+            "pick_decoders": [decoder() for _ in self.phases],
+            "pick_convs": [conv(1, self.filters[0], 11) for _ in self.phases],
+        }
+        return params
+
+    # ---- forward --------------------------------------------------------------
+    def apply(
+        self,
+        params: Dict,
+        x: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        logits: bool = False,
+    ):
+        """x: (B, 3, 6000) → (detection, P, S) each (B, 6000).
+
+        In train mode returns ((det, p, s), bn_updates); `rng` drives dropout.
+        """
+        updates: Dict = {}
+        rngs = iter(jax.random.split(rng, 64)) if rng is not None else iter([])
+
+        def next_rng():
+            try:
+                return next(rngs)
+            except StopIteration:
+                return None
+
+        def bn(h, p, path):
+            y, u = batch_norm(h, p, train=train, eps=_BN_EPS)
+            if u is not None:
+                updates[path] = u
+            return y
+
+        act = jax.nn.relu
+        pool_pads = _encoder_pool_paddings(self.in_samples, len(self.filters))
+
+        # --- shared encoder
+        h = x
+        for conv_p, pad in zip(params["encoder"], pool_pads):
+            h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
+            h = max_pool1d(h, 2, padding=pad)
+
+        # --- residual CNN stack (pre-activation)
+        for j, block in enumerate(params["res_cnn"]):
+            k = block["conv1"]["w"].shape[-1]
+            y = act(bn(h, block["norm1"], f"res_cnn.{j}.norm1"))
+            y = spatial_dropout1d(y, self.drop_rate, next_rng(), train)
+            y = conv1d_same(y, block["conv1"]["w"], block["conv1"]["b"])
+            y = act(bn(y, block["norm2"], f"res_cnn.{j}.norm2"))
+            y = spatial_dropout1d(y, self.drop_rate, next_rng(), train)
+            y = conv1d_same(y, block["conv2"]["w"], block["conv2"]["b"])
+            h = h + y
+
+        # --- BiLSTM stack
+        for j, block in enumerate(params["bilstm"]):
+            y = bilstm(h, block["lstm"])
+            y = dropout(y, self.drop_rate, next_rng(), train)
+            y = conv1d(y, block["conv"]["w"], block["conv"]["b"])
+            h = bn(y, block["norm"], f"bilstm.{j}.norm")
+
+        # --- transformer blocks
+        def transformer_block(h, p, path):
+            y, _ = seq_self_attention(h, p["attention"], eps=_ATTN_EPS)
+            y = h + y
+            y = layer_norm_keras(y, p["norm1"]["gamma"], p["norm1"]["beta"], _LN_EPS)
+            ht = y.transpose(0, 2, 1)
+            f = act(ht @ p["ff"]["lin1"]["w"].T + p["ff"]["lin1"]["b"])
+            f = dropout(f, self.drop_rate, next_rng(), train)
+            f = f @ p["ff"]["lin2"]["w"].T + p["ff"]["lin2"]["b"]
+            y2 = y + f.transpose(0, 2, 1)
+            return layer_norm_keras(y2, p["norm2"]["gamma"], p["norm2"]["beta"], _LN_EPS)
+
+        h = transformer_block(h, params["transformer_d0"], "transformer_d0")
+        h = transformer_block(h, params["transformer_d"], "transformer_d")
+
+        # --- decoders
+        crops = set(_decoder_crops(self.in_samples, len(self.filters)))
+
+        def decode(h, convs):
+            for i, conv_p in enumerate(convs):
+                h = upsample_nearest(h, 2)
+                if i in crops:
+                    h = h[..., :-1]
+                h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
+            return h
+
+        det = decode(h, params["decoder_d"])
+        det = conv1d_same(det, params["conv_d"]["w"], params["conv_d"]["b"])[:, 0]
+        if not logits:
+            det = jax.nn.sigmoid(det)
+
+        outputs = [det]
+        for lp, ap, dp, cp in zip(
+            params["pick_lstms"],
+            params["pick_attentions"],
+            params["pick_decoders"],
+            params["pick_convs"],
+        ):
+            px = lstm(h, lp["w_ih"], lp["w_hh"], lp["b_ih"], lp["b_hh"])
+            px = dropout(px, self.drop_rate, next_rng(), train)
+            px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
+            px = decode(px, dp)
+            pred = conv1d_same(px, cp["w"], cp["b"])[:, 0]
+            if not logits:
+                pred = jax.nn.sigmoid(pred)
+            outputs.append(pred)
+
+        out = tuple(outputs)
+        if train:
+            return out, updates
+        return out
+
+    def __call__(self, params, x, **kw):
+        return self.apply(params, x, **kw)

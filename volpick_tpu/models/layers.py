@@ -1,0 +1,230 @@
+"""Functional neural-net layers for the picking trunks (pure JAX, NCW layout).
+
+Design notes (TPU-first):
+- Waveforms are (B, C, W): batch, channel, time. Convs use XLA's
+  conv_general_dilated with ('NCH','OIH','NCH') dimension numbers; kernels are
+  stored (O, I, K) — the same layout as torch Conv1d weights, so the weight
+  importer is a plain copy for forward convs.
+- Transposed convs are expressed as input-dilated regular convs with the
+  kernel pre-flipped/transposed at import time (see torch_import.py), which
+  XLA maps onto the same convolution HLO (MXU) as the forward convs.
+- BatchNorm carries running statistics in the param tree; in train mode the
+  batch statistics are used and updated running stats are returned through an
+  `updates` side-channel dict (functional state threading).
+- LSTMs run as lax.scan over time with all gates fused into one matmul per
+  step; gate order is (i, f, g, o) — torch's — so imported weights are used
+  as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: Tuple[int, int] = (0, 0),
+    lhs_dilation: int = 1,
+) -> jnp.ndarray:
+    """1D convolution, NCW x (O,I,K) → NCW."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[padding],
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
+def conv1d_same(x, w, b=None):
+    """'same' conv for odd or even kernels (even pads one extra on the right,
+    torch/keras asymmetric-same convention used by the reference models)."""
+    k = w.shape[-1]
+    return conv1d(x, w, b, padding=((k - 1) // 2, k // 2))
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w_flipped: jnp.ndarray,
+    stride: int,
+    k: int,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Transposed conv expressed as an input-dilated conv.
+
+    `w_flipped` must be (O, I, K) with the spatial axis flipped relative to a
+    torch ConvTranspose1d weight (I, O, K); torch_import performs that
+    transform once. Output length: (L-1)*stride + K - 2*padding.
+    """
+    pad = k - 1 - padding
+    return conv1d(x, w_flipped, stride=1, padding=(pad, pad), lhs_dilation=stride)
+
+
+def batch_norm(
+    x: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    train: bool = False,
+    eps: float = 1e-3,
+    momentum: float = 0.1,
+):
+    """BatchNorm1d over (B, C, W); normalizes per channel over (B, W).
+
+    Returns (y, state_update|None). `p` holds scale/bias/mean/var. eps
+    defaults to 1e-3 (TF/Keras convention the original PhaseNet/EQTransformer
+    models were built with, preserved by their torch ports).
+    """
+    if train:
+        mean = jnp.mean(x, axis=(0, 2))
+        var = jnp.var(x, axis=(0, 2))
+        n = x.shape[0] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        update = {
+            "mean": (1 - momentum) * p["mean"] + momentum * mean,
+            "var": (1 - momentum) * p["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = p["mean"], p["var"]
+        update = None
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean[None, :, None]) * (inv * p["scale"])[None, :, None] + p["bias"][None, :, None]
+    return y, update
+
+
+def layer_norm_keras(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-14):
+    """Keras-style LayerNormalization over the channel axis of (B, C, W).
+
+    gamma/beta are stored (C, 1) — the shape the reference's EQTransformer
+    weights use (`transformer_d0.norm1.gamma (16, 1)`).
+    """
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    std = jnp.sqrt(var + eps)
+    return gamma[None] * (x - mean) / std + beta[None]
+
+
+def max_pool1d(x: jnp.ndarray, k: int = 2, stride: Optional[int] = None, padding: int = 0):
+    """MaxPool over the last axis with -inf padding (torch semantics)."""
+    stride = stride or k
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, k),
+        window_strides=(1, 1, stride),
+        padding=((0, 0), (0, 0), (padding, padding)),
+    )
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor upsampling along time (torch nn.Upsample(scale_factor))."""
+    return jnp.repeat(x, factor, axis=-1)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def spatial_dropout1d(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
+    """Drops whole channels (keras SpatialDropout1D semantics)."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], x.shape[1], 1))
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def lstm(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_ih: jnp.ndarray,
+    b_hh: jnp.ndarray,
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Unidirectional LSTM over (B, C, T) → (B, H, T).
+
+    torch layout: w_ih (4H, C), w_hh (4H, H), gate order (i, f, g, o).
+    The input projection for all timesteps is hoisted out of the scan into a
+    single large matmul (MXU-friendly); the scan carries only the (B, H)
+    recurrent state. Sequence lengths here are ≤ 47 (post-pooling), so the
+    sequential scan is cheap.
+    """
+    h_dim = w_hh.shape[1]
+    b, c, t = x.shape
+    # (T, B, 4H): one big input projection
+    x_t = x.transpose(2, 0, 1)
+    if reverse:
+        x_t = x_t[::-1]
+    x_proj = x_t @ w_ih.T + (b_ih + b_hh)
+
+    def step(carry, xp):
+        h, cell = carry
+        gates = xp + h @ w_hh.T
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        cell = f * cell + i * g
+        h = o * jnp.tanh(cell)
+        return (h, cell), h
+
+    init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
+    _, hs = jax.lax.scan(step, init, x_proj)
+    if reverse:
+        hs = hs[::-1]
+    return hs.transpose(1, 2, 0)  # (B, H, T)
+
+
+def bilstm(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Bidirectional LSTM: concat forward and backward hidden states on channels."""
+    fwd = lstm(x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
+    bwd = lstm(x, p["w_ih_rev"], p["w_hh_rev"], p["b_ih_rev"], p["b_hh_rev"], reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=1)
+
+
+def seq_self_attention(
+    x: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    attention_width: Optional[int] = None,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Additive (Bahdanau-style) self-attention over (B, C, T).
+
+    The nonstandard parameterization matches the reference weights
+    (`transformer_d0.attention.{Wx,Wt,bh,Wa,ba}`, SURVEY §2.5): for query step
+    t and key step s, e[t,s] = Wa·tanh(x_t·Wt + x_s·Wx + bh) + ba, softmax over
+    s with numerically-stable max subtraction and an `eps` added to the
+    denominator; optional band mask of `attention_width` around the diagonal.
+    Returns (values (B, C, T), attention (B, T, T)).
+    """
+    xt = x.transpose(0, 2, 1)  # (B, T, C)
+    q = xt @ p["Wt"]  # (B, T, U)
+    k = xt @ p["Wx"]  # (B, T, U)
+    h = jnp.tanh(q[:, :, None, :] + k[:, None, :, :] + p["bh"])  # (B, T, T, U)
+    e = (h @ p["Wa"])[..., 0] + p["ba"][0]  # (B, T, T)
+    e = e - jnp.max(e, axis=-1, keepdims=True)
+    e = jnp.exp(e)
+    if attention_width is not None:
+        t = x.shape[-1]
+        idx = jnp.arange(t)
+        lower = idx - attention_width // 2
+        upper = lower + attention_width
+        mask = (idx[None, :] >= lower[:, None]) & (idx[None, :] < upper[:, None])
+        e = jnp.where(mask[None], e, 0.0)
+    a = e / (jnp.sum(e, axis=-1, keepdims=True) + eps)
+    v = a @ xt  # (B, T, C)
+    return v.transpose(0, 2, 1), a
