@@ -1,0 +1,141 @@
+"""End-to-end annotate()/classify() tests with the published weights on
+synthetic streams with known event times."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from volpick_tpu.core import Stream, Trace, UTC
+
+WEIGHTS = os.environ.get("VOLPICK_TPU_MODELS", "/root/reference/Final_models/volpick")
+needs_weights = pytest.mark.skipif(
+    not os.path.exists(os.path.join(WEIGHTS, "phasenet", "volpick.pt.v1")),
+    reason="published volpick weights not available",
+)
+
+
+def synth_event_stream(rng, station="TST1", duration=90.0, p_at=40.0, s_at=43.0, sr=100.0):
+    """Synthetic VT-ish event: band-limited P on Z, stronger S on horizontals."""
+    n = int(duration * sr)
+    t = np.arange(n) / sr
+    data = rng.normal(size=(3, n)).astype(np.float64) * 0.02
+    # P: 8 Hz burst starting at p_at with fast rise, exponential coda
+    env_p = np.where(t >= p_at, np.exp(-(t - p_at) / 1.5), 0.0) * (1 - np.exp(-np.clip(t - p_at, 0, None) / 0.05))
+    data[0] += np.sin(2 * np.pi * 8 * t) * env_p * 1.5
+    data[1:] += np.sin(2 * np.pi * 8 * t) * env_p * 0.4
+    # S: 4 Hz burst at s_at, stronger on horizontals
+    env_s = np.where(t >= s_at, np.exp(-(t - s_at) / 2.5), 0.0) * (1 - np.exp(-np.clip(t - s_at, 0, None) / 0.08))
+    data[1] += np.sin(2 * np.pi * 4 * t + 0.5) * env_s * 2.5
+    data[2] += np.sin(2 * np.pi * 4 * t + 1.1) * env_s * 2.2
+    data[0] += np.sin(2 * np.pi * 4 * t) * env_s * 0.8
+    t0 = UTC("2024-06-01T00:00:00")
+    return Stream(
+        [
+            Trace(
+                data[i],
+                dict(network="XX", station=station, channel=f"HH{c}", sampling_rate=sr, starttime=t0),
+            )
+            for i, c in enumerate("ZNE")
+        ]
+    ), t0
+
+
+@needs_weights
+class TestPhaseNetClassify:
+    @pytest.fixture(scope="class")
+    def picker(self):
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        return WaveformPicker(model, params)
+
+    def test_annotate_shapes_and_names(self, picker, rng):
+        st, t0 = synth_event_stream(rng)
+        ann = picker.annotate(st, overlap=2500, blinding=(500, 500))
+        assert len(ann) == 3  # P, S, N curves
+        chans = {tr.stats.channel for tr in ann}
+        assert chans == {"PhaseNet_P", "PhaseNet_S", "PhaseNet_N"}
+        assert all(tr.stats.npts == 9000 for tr in ann)
+        p = ann.select(channel="PhaseNet_P")[0].data
+        assert 0 <= p.min() and p.max() <= 1
+
+    def test_classify_finds_event(self, picker, rng):
+        st, t0 = synth_event_stream(rng, p_at=40.0, s_at=43.0)
+        out = picker.classify(st, overlap=2500, blinding=(500, 500))
+        p_picks = out.picks.select(phase="P")
+        s_picks = out.picks.select(phase="S")
+        assert len(p_picks) >= 1, f"no P picks: {out.picks}"
+        assert len(s_picks) >= 1, f"no S picks: {out.picks}"
+        # strongest P pick within ±1 s of the constructed onset
+        best_p = max(p_picks, key=lambda p: p.peak_value)
+        assert abs((best_p.peak_time - t0) - 40.0) < 1.0
+        best_s = max(s_picks, key=lambda p: p.peak_value)
+        assert abs((best_s.peak_time - t0) - 43.0) < 1.5
+        assert best_p.trace_id == "XX.TST1."
+
+    def test_classify_noise_only(self, picker, rng):
+        n = 9000
+        data = rng.normal(size=(3, n)) * 0.02
+        st = Stream(
+            [
+                Trace(data[i], dict(network="XX", station="NOIS", channel=f"HHZNE"[0:2] + c, sampling_rate=100.0, starttime=UTC(0)))
+                for i, c in enumerate("ZNE")
+            ]
+        )
+        out = picker.classify(st, overlap=2500, blinding=(500, 500))
+        assert len(out.picks) == 0
+
+    def test_multi_station_batch(self, picker, rng):
+        st1, t0 = synth_event_stream(rng, station="AAA", p_at=30.0, s_at=33.0)
+        st2, _ = synth_event_stream(rng, station="BBB", p_at=50.0, s_at=54.0)
+        st = Stream(list(st1) + list(st2))
+        out = picker.classify(st, overlap=2500, blinding=(500, 500))
+        ids = {p.trace_id for p in out.picks}
+        assert {"XX.AAA.", "XX.BBB."} <= ids
+        for sta, p_at in (("AAA", 30.0), ("BBB", 50.0)):
+            pp = [p for p in out.picks if sta in p.trace_id and p.phase == "P"]
+            best = max(pp, key=lambda p: p.peak_value)
+            assert abs(best.peak_time.timestamp - (t0.timestamp + p_at)) < 1.0
+
+    def test_short_stream_pad(self, picker, rng):
+        # shorter than one window → must pad, not crash
+        data = rng.normal(size=(3, 1000)) * 0.01
+        st = Stream(
+            [
+                Trace(data[i], dict(network="XX", station="SHRT", channel=f"HH{c}", sampling_rate=100.0, starttime=UTC(0)))
+                for i, c in enumerate("ZNE")
+            ]
+        )
+        ann = picker.annotate(st)
+        assert all(tr.stats.npts == 1000 for tr in ann)
+
+
+@needs_weights
+class TestEQTClassify:
+    @pytest.fixture(scope="class")
+    def picker(self):
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        model, params = from_pretrained("eqtransformer", search_paths=[WEIGHTS])
+        return WaveformPicker(model, params)
+
+    def test_classify_eqt(self, picker, rng):
+        st, t0 = synth_event_stream(rng, duration=120.0, p_at=60.0, s_at=64.0)
+        out = picker.classify(st, overlap=5500, blinding=(500, 500), batch_size=64)
+        assert len(out.detections) >= 1
+        p_picks = out.picks.select(phase="P")
+        assert len(p_picks) >= 1
+        best_p = max(p_picks, key=lambda p: p.peak_value)
+        assert abs((best_p.peak_time - t0) - 60.0) < 1.5
+        det = out.detections[0]
+        assert det.start_time.timestamp <= t0.timestamp + 62.0 <= det.end_time.timestamp + 5.0
+
+    def test_annotate_channels(self, picker, rng):
+        st, _ = synth_event_stream(rng, duration=70.0)
+        ann = picker.annotate(st, overlap=3000, blinding=(500, 500), batch_size=32)
+        chans = {tr.stats.channel for tr in ann}
+        assert chans == {"EQTransformer_Detection", "EQTransformer_P", "EQTransformer_S"}
