@@ -1,0 +1,125 @@
+"""Dataset layer tests: writer→reader roundtrip, chunks, splits, subsets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from volpick_tpu.data import (
+    VCSEIS,
+    WaveformDataset,
+    WaveformDataWriter,
+    assemble_datasets,
+    generate_chunk_file,
+    load_dataset,
+)
+from volpick_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    make_synthetic_dataset(d, n_events=20, n_noise=6, n_samples=3000, seed=1)
+    return d
+
+
+class TestWriterReader:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        waves = [rng.normal(size=(3, 100 + 17 * i)).astype(np.float32) for i in range(5)]
+        with WaveformDataWriter(tmp_path / "metadata.csv", tmp_path / "waveforms.hdf5") as w:
+            w.data_format = {"dimension_order": "CW", "component_order": "ZNE"}
+            for i, wave in enumerate(waves):
+                w.add_trace(
+                    {"trace_name": f"tr{i}", "trace_sampling_rate_hz": 100.0, "split": "train"},
+                    wave,
+                )
+        ds = WaveformDataset(tmp_path)
+        assert len(ds) == 5
+        for i, wave in enumerate(waves):
+            got = ds.get_waveforms(i)
+            np.testing.assert_allclose(got, wave, atol=1e-6)
+
+    def test_bucket_packing(self, tmp_path):
+        import h5py
+
+        with WaveformDataWriter(
+            tmp_path / "metadata.csv", tmp_path / "waveforms.hdf5", bucket_size=4
+        ) as w:
+            w.data_format = {"dimension_order": "CW", "component_order": "ZNE"}
+            for i in range(10):
+                w.add_trace({"trace_name": f"tr{i}"}, np.full((3, 50), float(i), np.float32))
+        with h5py.File(tmp_path / "waveforms.hdf5") as f:
+            assert len(f["data"]) < 10  # packed into buckets
+        md = pd.read_csv(tmp_path / "metadata.csv")
+        assert md["trace_name"].str.contains(r"\$").all()
+        ds = WaveformDataset(tmp_path)
+        got = ds.get_waveforms(7)
+        np.testing.assert_allclose(got, np.full((3, 50), 7.0), atol=0)
+
+    def test_component_reorder(self, tmp_path):
+        wave = np.stack([np.full(20, 1.0), np.full(20, 2.0), np.full(20, 3.0)]).astype(np.float32)
+        with WaveformDataWriter(tmp_path / "metadata.csv", tmp_path / "waveforms.hdf5") as w:
+            w.data_format = {"dimension_order": "CW", "component_order": "ZNE"}
+            w.add_trace({"trace_name": "a", "trace_sampling_rate_hz": 100.0}, wave)
+        ds = WaveformDataset(tmp_path, component_order="ENZ")
+        got = ds.get_waveforms(0)
+        np.testing.assert_array_equal(got[:, 0], [3.0, 2.0, 1.0])
+
+    def test_resampling_on_read(self, tmp_path):
+        wave = np.sin(np.arange(400) / 10).astype(np.float32)[None, :].repeat(3, 0)
+        with WaveformDataWriter(tmp_path / "metadata.csv", tmp_path / "waveforms.hdf5") as w:
+            w.data_format = {"dimension_order": "CW", "component_order": "ZNE"}
+            w.add_trace(
+                {
+                    "trace_name": "a",
+                    "trace_sampling_rate_hz": 200.0,
+                    "trace_p_arrival_sample": 100.0,
+                },
+                wave,
+            )
+        ds = WaveformDataset(tmp_path, sampling_rate=100.0)
+        data, md = ds.get_sample(0)
+        assert data.shape[-1] == 200
+        assert md["trace_p_arrival_sample"] == pytest.approx(50.0)
+
+
+class TestDataset:
+    def test_splits(self, synth_ds):
+        ds = WaveformDataset(synth_ds)
+        train, dev, test = ds.train_dev_test()
+        assert len(train) + len(dev) + len(test) == len(ds)
+        assert (train.metadata["split"] == "train").all()
+
+    def test_vcseis_selectors(self, synth_ds):
+        ds = VCSEIS(synth_ds)
+        lp = ds.get_long_period_earthquakes()
+        reg = ds.get_regular_earthquakes()
+        noise = ds.get_noise_traces()
+        assert len(lp) + len(reg) + len(noise) == len(ds)
+        assert len(noise) == 6
+        assert (lp._source_type() == "lp").all()
+        alaska = ds.get_alaska_subset()
+        assert len(alaska) == len(ds)  # all synth stations are AV
+
+    def test_load_dataset(self, synth_ds):
+        ds = load_dataset(synth_ds)
+        assert ds.sampling_rate == 100.0
+        assert len(ds) == 26
+
+    def test_preload(self, synth_ds):
+        ds = WaveformDataset(synth_ds, cache="full")
+        ds.preload_waveforms()
+        assert len(ds._waveform_cache) == len(ds)
+
+
+class TestAssembly:
+    def test_assemble(self, tmp_path):
+        d1, d2 = tmp_path / "a", tmp_path / "b"
+        make_synthetic_dataset(d1, n_events=4, n_noise=0, n_samples=500, chunk="_r1")
+        make_synthetic_dataset(d2, n_events=3, n_noise=2, n_samples=500, chunk="_r2", seed=9)
+        dest = tmp_path / "combined"
+        chunks = assemble_datasets({d1: ["_r1"], d2: ["_r2"]}, dest)
+        assert chunks == ["_r1", "_r2"]
+        ds = WaveformDataset(dest)
+        assert len(ds) == 9
+        assert set(ds.metadata["trace_chunk"]) == {"_r1", "_r2"}
