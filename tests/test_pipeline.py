@@ -1,0 +1,194 @@
+"""Augmentation-pipeline tests: window/label geometry, stacking invariants,
+gaps, generator batches."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from volpick_tpu.pipeline.augmentations import (
+    AugmentConfig,
+    augment_train_batch,
+    gather_window,
+    select_window_offsets,
+    shift_batch,
+    stack_block,
+    window_and_label,
+    _first_event_end,
+)
+from volpick_tpu.pipeline.generator import RawBatchSource, TrainGenerator
+from volpick_tpu.data.synthetic import make_synthetic_dataset
+from volpick_tpu.data import WaveformDataset, VCSEIS
+
+
+def raw_batch(rng, b=8, c=3, w=9000, with_picks=True):
+    x = rng.normal(size=(b, c, w)).astype(np.float32)
+    lens = np.full(b, w, np.int32)
+    if with_picks:
+        p = rng.uniform(2000, 5000, b).astype(np.float32)
+        s = p + rng.uniform(100, 600, b).astype(np.float32)
+    else:
+        p = np.full(b, np.nan, np.float32)
+        s = np.full(b, np.nan, np.float32)
+    return {"x": jnp.asarray(x), "len": jnp.asarray(lens), "p": jnp.asarray(p), "s": jnp.asarray(s)}
+
+
+CFG_PN = AugmentConfig(window=3001, stack=False)
+CFG_EQT = AugmentConfig(
+    window=6000, pre_window=12000, samples_before=6000, noise_column=False, detection=True, detrend=True
+)
+
+
+class TestPrimitives:
+    def test_shift_batch(self):
+        x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 1, 12))
+        r = np.asarray(shift_batch(x, jnp.asarray([3])))
+        np.testing.assert_array_equal(r[0, 0, :4], [0, 0, 0, 0])
+        np.testing.assert_array_equal(r[0, 0, 4:], np.arange(1, 9))
+        l = np.asarray(shift_batch(x, jnp.asarray([-2])))
+        np.testing.assert_array_equal(l[0, 0, :10], np.arange(2, 12))
+        assert l[0, 0, -1] == 0
+
+    def test_gather_window_pad(self):
+        x = jnp.asarray(np.ones((1, 3, 100), np.float32))
+        out = np.asarray(gather_window(x, jnp.asarray([100]), jnp.asarray([-10]), 50))
+        assert out.shape == (1, 3, 50)
+        assert np.all(out[0, :, :10] == 0) and np.all(out[0, :, 10:] == 1)
+        out2 = np.asarray(gather_window(x, jnp.asarray([60]), jnp.asarray([40]), 50))
+        assert np.all(out2[0, :, :20] == 1) and np.all(out2[0, :, 20:] == 0)
+
+    def test_first_event_end(self):
+        cfg = AugmentConfig(sep=200)
+        fee, has = _first_event_end(jnp.asarray([1000.0, 1000.0, np.nan]), jnp.asarray([1500.0, np.nan, np.nan]), cfg)
+        fee = np.asarray(fee)
+        # two onsets: 1500 + max(1.4*500, 200) + 40 = 2240
+        assert fee[0] == 2240
+        # one onset: 1000 + 1 + 200
+        assert fee[1] == 1201
+        assert not np.asarray(has)[2]
+
+
+class TestWindowing:
+    def test_offsets_cover_onset(self, rng):
+        raw = raw_batch(rng, b=64)
+        key = jax.random.PRNGKey(0)
+        off = np.asarray(select_window_offsets(key, raw["len"], raw["p"], raw["s"], CFG_PN))
+        # windows should often contain the chosen onset; at minimum be in-range-ish
+        assert off.min() > -CFG_PN.window
+        assert (off < np.asarray(raw["len"])).all()
+
+    def test_window_and_label_shapes(self, rng):
+        raw = raw_batch(rng, b=4)
+        out = window_and_label(jax.random.PRNGKey(1), raw["x"], raw["len"], raw["p"], raw["s"], CFG_PN)
+        assert out["X"].shape == (4, 3, 3001)
+        assert out["y"].shape == (4, 3, 3001)
+        y = np.asarray(out["y"])
+        x = np.asarray(out["X"])
+        # normalized per channel
+        assert np.abs(x).max() <= 1.0 + 1e-5
+        # labels: P+S+N ≈ 1 where no overlap clipping
+        np.testing.assert_allclose(y.sum(1).max(), 1.0, atol=1e-5)
+
+    def test_eqt_detections(self, rng):
+        raw = raw_batch(rng, b=4, w=15000)
+        out = window_and_label(jax.random.PRNGKey(2), raw["x"], raw["len"], raw["p"], raw["s"], CFG_EQT)
+        assert out["X"].shape == (4, 3, 6000)
+        assert out["y"].shape == (4, 2, 6000)
+        assert out["detections"].shape == (4, 1, 6000)
+
+    def test_noise_trace_labels(self, rng):
+        raw = raw_batch(rng, b=4, with_picks=False)
+        out = window_and_label(jax.random.PRNGKey(3), raw["x"], raw["len"], raw["p"], raw["s"], CFG_PN)
+        y = np.asarray(out["y"])
+        assert y[:, :2].max() == 0.0
+        assert (y[:, 2] == 1.0).all()
+
+
+class TestStacking:
+    def test_full_program_runs_and_is_deterministic(self, rng):
+        cfg = AugmentConfig(window=3001, stack=True)
+        prim = raw_batch(rng, b=16)
+        sec = raw_batch(rng, b=16)
+        sec2 = raw_batch(rng, b=16)
+        noi = raw_batch(rng, b=16, with_picks=False)
+        noi2 = raw_batch(rng, b=16, with_picks=False)
+        key = jax.random.PRNGKey(7)
+        out1 = augment_train_batch(key, prim, sec, sec2, noi, noi2, cfg)
+        out2 = augment_train_batch(key, prim, sec, sec2, noi, noi2, cfg)
+        np.testing.assert_array_equal(np.asarray(out1["X"]), np.asarray(out2["X"]))
+        x, y = np.asarray(out1["X"]), np.asarray(out1["y"])
+        assert x.shape == (16, 3, 3001) and y.shape == (16, 3, 3001)
+        assert np.isfinite(x).all() and np.isfinite(y).all()
+        assert np.abs(x).max() <= 1.0 + 1e-5  # final re-normalization
+        assert (y >= 0).all() and (y <= 1 + 1e-5).all()
+
+    def test_labels_stay_valid_distribution(self, rng):
+        cfg = AugmentConfig(window=3001, stack=True)
+        prim = raw_batch(rng, b=32)
+        out = augment_train_batch(
+            jax.random.PRNGKey(9),
+            prim,
+            raw_batch(rng, b=32),
+            raw_batch(rng, b=32),
+            raw_batch(rng, b=32, with_picks=False),
+            raw_batch(rng, b=32, with_picks=False),
+            cfg,
+        )
+        y = np.asarray(out["y"])
+        sums = y.sum(1)
+        # after method1 renormalization, P+S+N == 1 wherever stacking happened;
+        # un-stacked samples keep clip semantics (sum <= 1 + eps from labeller)
+        assert sums.max() <= 1.0 + 1e-4
+
+    def test_stack_produces_second_event_sometimes(self, rng):
+        # with stacking forced on (p=[1,0,0]) the P label should show two bumps
+        cfg = AugmentConfig(window=3001, stack=True, p_event_modes=(1.0, 0.0, 0.0), p_two_events=0.0)
+        prim = raw_batch(rng, b=32)
+        sec = raw_batch(rng, b=32)
+        out = augment_train_batch(
+            jax.random.PRNGKey(11), prim, sec, sec,
+            raw_batch(rng, b=32, with_picks=False), raw_batch(rng, b=32, with_picks=False), cfg,
+        )
+        y = np.asarray(out["y"])
+        # count samples whose P row has two separated peaks > 0.9
+        two = 0
+        for i in range(32):
+            peaks = np.where(y[i, 0] > 0.9)[0]
+            if len(peaks) and peaks.max() - peaks.min() > 100:
+                two += 1
+        assert two >= 5, f"only {two} stacked second events"
+
+    def test_gap_sets_noise_one(self, rng):
+        cfg = AugmentConfig(window=3001, stack=False, gap_prob=1.0)
+        prim = raw_batch(rng, b=8)
+        out = augment_train_batch(jax.random.PRNGKey(5), prim, None, None, None, None, cfg)
+        x, y = np.asarray(out["X"]), np.asarray(out["y"])
+        # wherever x is exactly zero across channels in a contiguous span, noise==1
+        for i in range(8):
+            gap = np.all(x[i] == 0, axis=0)
+            if gap.any():
+                assert np.allclose(y[i, 2][gap], 1.0)
+
+
+class TestGenerator:
+    def test_epoch_batches(self, tmp_path, rng):
+        make_synthetic_dataset(tmp_path, n_events=24, n_noise=8, n_samples=4000, seed=3)
+        ds = VCSEIS(tmp_path)
+        train = ds.get_split("train")
+        cfg = AugmentConfig(window=3001, stack=True)
+        gen = TrainGenerator(
+            train,
+            cfg,
+            batch_size=8,
+            eq_dataset=ds.get_regular_earthquakes().filter(
+                ds.get_regular_earthquakes().metadata["split"] == "train", inplace=False
+            ),
+            noise_dataset=ds.get_noise_traces().filter(
+                ds.get_noise_traces().metadata["split"] == "train", inplace=False
+            ),
+        )
+        batches = list(gen.epoch())
+        assert len(batches) == len(gen)
+        b0 = batches[0]
+        assert b0["X"].shape == (8, 3, 3001)
+        assert np.isfinite(np.asarray(b0["X"])).all()

@@ -1,0 +1,184 @@
+"""Host-side batch assembly feeding the on-device augmentation program.
+
+The host's only jobs are: keep the raw traces in pinned numpy buffers, draw
+shuffled indices, and ship fixed-shape (B, C, W_buf) batches to the device —
+everything else (windowing, labels, stacking, normalization) runs in
+`augment_train_batch` on the TPU. This replaces the reference's
+12-24-worker torch DataLoader + per-sample numpy augmentation pipeline
+(reference `volpick/model/train.py:315-330`).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from volpick_tpu.pipeline.augmentations import AugmentConfig, augment_train_batch
+
+# metadata column → phase map (reference `volpick/model/models.py:26-31`)
+PHASE_COLUMNS = {
+    "trace_p_arrival_sample": "P",
+    "trace_P_arrival_sample": "P",
+    "trace_s_arrival_sample": "S",
+    "trace_S_arrival_sample": "S",
+}
+
+
+def _onset_arrays(metadata) -> Tuple[np.ndarray, np.ndarray]:
+    """(p, s) float arrays with NaN for absent picks, merging column aliases."""
+    n = len(metadata)
+    p = np.full(n, np.nan, dtype=np.float32)
+    s = np.full(n, np.nan, dtype=np.float32)
+    for col, phase in PHASE_COLUMNS.items():
+        if col in metadata.columns:
+            vals = np.asarray(metadata[col], dtype=np.float32)
+            tgt = p if phase == "P" else s
+            take = np.isnan(tgt) & ~np.isnan(vals)
+            tgt[take] = vals[take]
+    return p, s
+
+
+class RawBatchSource:
+    """Raw padded trace buffers + onset arrays for random batch draws."""
+
+    def __init__(self, dataset, buffer_len: Optional[int] = None, pad_multiple: int = 512):
+        self.dataset = dataset
+        n = len(dataset)
+        waves = [dataset.get_sample(i)[0] for i in range(n)]
+        self.lens = np.array([w.shape[-1] for w in waves], dtype=np.int32)
+        max_len = int(self.lens.max()) if n else pad_multiple
+        if buffer_len is None:
+            buffer_len = int(math.ceil(max_len / pad_multiple) * pad_multiple)
+        self.buffer_len = buffer_len
+        c = waves[0].shape[0] if n else 3
+        self.data = np.zeros((n, c, buffer_len), dtype=np.float32)
+        for i, w in enumerate(waves):
+            self.data[i, :, : min(w.shape[-1], buffer_len)] = w[:, :buffer_len]
+        self.lens = np.minimum(self.lens, buffer_len)
+        self.p, self.s = _onset_arrays(dataset.metadata)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "x": self.data[idx],
+            "len": self.lens[idx],
+            "p": self.p[idx],
+            "s": self.s[idx],
+        }
+
+    def random_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
+        idx = rng.integers(0, len(self), size=batch_size)
+        return self.take(idx)
+
+
+class TrainGenerator:
+    """Epoch iterator: shuffled primary batches + random secondary/noise draws,
+    augmented on device. Yields {"X", "y"[, "detections"]} jnp arrays."""
+
+    def __init__(
+        self,
+        dataset,
+        cfg: AugmentConfig,
+        batch_size: int,
+        eq_dataset=None,
+        noise_dataset=None,
+        seed: int = 42,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        import jax
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.primary = RawBatchSource(dataset)
+        self.eq = RawBatchSource(eq_dataset) if (cfg.stack and eq_dataset is not None and len(eq_dataset)) else None
+        self.noise = (
+            RawBatchSource(noise_dataset)
+            if (cfg.stack and noise_dataset is not None and len(noise_dataset))
+            else None
+        )
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.primary)
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+
+    def epoch(self) -> Iterator[Dict]:
+        import jax
+
+        n = len(self.primary)
+        order = self.rng.permutation(n)
+        steps = len(self)
+        stack_on = self.cfg.stack and self.eq is not None
+
+        def make(i):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            prim = self.primary.take(idx)
+            if len(idx) < self.batch_size:  # final partial batch (drop_last=False)
+                pad = self.batch_size - len(idx)
+                prim = {k: np.concatenate([v, v[:pad]]) for k, v in prim.items()}
+            if stack_on:
+                sec = self.eq.random_batch(self.rng, self.batch_size)
+                sec2 = self.eq.random_batch(self.rng, self.batch_size)
+                noi = (self.noise or self.eq).random_batch(self.rng, self.batch_size)
+                noi2 = (self.noise or self.eq).random_batch(self.rng, self.batch_size)
+            else:
+                sec = sec2 = noi = noi2 = None
+            self.key, sub = jax.random.split(self.key)
+            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self.cfg)
+
+        # simple software pipeline: dispatch ahead so host assembly overlaps
+        # device compute (jax dispatch is async)
+        pending = []
+        for i in range(steps):
+            pending.append(make(i))
+            if len(pending) > self.prefetch:
+                yield pending.pop(0)
+        yield from pending
+
+
+def eval_batch(
+    dataset,
+    indices: Sequence[int],
+    window: int,
+    start_samples: Sequence[int],
+    end_samples: Sequence[int],
+    norm: str = "peak",
+    detrend: bool = False,
+):
+    """Steered evaluation batch: fixed windows containing the target region.
+
+    Returns (X (B, C, window) conditioned numpy array, window_borders (B, 2)).
+    Mirrors SteeredWindow + Normalize eval augs (reference `models.py:445-452`).
+    """
+    from volpick_tpu.ops.windows import pad_frame, steered_window_indices
+
+    xs, borders = [], []
+    for idx, ss, es in zip(indices, start_samples, end_samples):
+        data, md = dataset.get_sample(int(idx))
+        n = data.shape[-1]
+        w0, lo, hi = steered_window_indices(n, np.array([ss]), np.array([es]), window)
+        xs.append(pad_frame(data, int(w0[0]), window))
+        borders.append((int(lo[0]), int(hi[0])))
+    x = np.stack(xs).astype(np.float32)
+    # conditioning (demean/detrend + per-channel peak/std norm)
+    if detrend:
+        t = np.arange(window) - (window - 1) / 2
+        slope = ((x - x.mean(-1, keepdims=True)) * t).sum(-1, keepdims=True) / (t * t).sum()
+        x = x - x.mean(-1, keepdims=True) - slope * t
+    else:
+        x = x - x.mean(-1, keepdims=True)
+    if norm == "peak":
+        x = x / (np.abs(x).max(-1, keepdims=True) + 1e-10)
+    else:
+        x = x / (x.std(-1, keepdims=True) + 1e-10)
+    return x, np.asarray(borders, dtype=np.int64)
