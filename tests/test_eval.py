@@ -1,0 +1,139 @@
+"""Eval-harness tests: target generation determinism/geometry, TP/FP/FN
+counting golden cases, residual stats, end-to-end task0 sweep and task123
+scoring on the synthetic dataset with the published PhaseNet weights."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from volpick_tpu.data import VCSEIS
+from volpick_tpu.data.synthetic import make_synthetic_dataset
+from volpick_tpu.eval import (
+    calculate_precision_recall_F1score,
+    collect_task123_results,
+    count_TP_FP_FN,
+    compute_residuals,
+    eval_task0,
+    eval_tasks123,
+    generate_task0,
+    generate_task1,
+    generate_task23,
+    opt_prob_metrics,
+    parse_task1,
+    parse_task23,
+    select_window_containing,
+)
+
+WEIGHTS = os.environ.get("VOLPICK_TPU_MODELS", "/root/reference/Final_models/volpick")
+needs_weights = pytest.mark.skipif(
+    not os.path.exists(os.path.join(WEIGHTS, "phasenet", "volpick.pt.v1")),
+    reason="published volpick weights not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eval_ds")
+    make_synthetic_dataset(d, n_events=30, n_noise=10, n_samples=6000, seed=11)
+    return VCSEIS(d)
+
+
+class TestTargets:
+    def test_task0_geometry(self, ds, tmp_path):
+        df = generate_task0(ds, tmp_path, noise_before_events=True)
+        assert len(df) > 0
+        w = df["end_sample"] - df["start_sample"]
+        assert (w <= 3000).all() and (w > 100).all()
+        eq = df[df["trace_type"] == "earthquake"]
+        # every earthquake row keeps at least one contained pick column
+        pick_cols = [c for c in df.columns if c.endswith("_arrival_sample")]
+        assert len(pick_cols) >= 1
+        assert eq[pick_cols].notna().any(axis=1).all()
+
+    def test_task0_deterministic(self, ds, tmp_path):
+        d1 = generate_task0(ds, tmp_path / "a")
+        d2 = generate_task0(ds, tmp_path / "b")
+        pd.testing.assert_frame_equal(d1.reset_index(drop=True), d2.reset_index(drop=True))
+
+    def test_task1(self, ds, tmp_path):
+        df = generate_task1(ds, tmp_path)
+        assert set(df["trace_type"]) == {"earthquake", "noise"}
+
+    def test_task23_isolation(self, ds, tmp_path):
+        df = generate_task23(ds, tmp_path)
+        assert len(df) > 0
+        assert set(df["phase_label"]) <= {"P", "S"}
+        # onset inside window with 50-sample bounds
+        ok = (df["phase_onset"] >= df["start_sample"]) & (df["phase_onset"] < df["end_sample"])
+        assert ok.all()
+
+    def test_select_window_containing(self):
+        np.random.seed(0)
+        s0, s1 = select_window_containing(10000, 3000, containing=5000)
+        assert s1 - s0 == 3000 and s0 <= 5000 - 100 and 5000 + 100 <= s1
+        assert select_window_containing(1000, 3000) == (0, 1000)
+
+
+class TestCounting:
+    def test_counting_golden(self):
+        truth = [np.array([100.0]), np.array([]), np.array([500.0]), np.array([900.0])]
+        pred = [np.array([120.0]), np.array([300.0]), np.array([]), np.array([820.0, 960.0])]
+        TP, FP, FN, *_ = count_TP_FP_FN(truth, pred, tp_thre=0.5, sampling_rate=100)
+        # trace0: |20|/100=0.2s → TP; trace1: FP; trace2: FN;
+        # trace3: 820 is 0.8s off → FP, 960 is 0.6s off → FP, truth → FN
+        assert (TP, FP, FN) == (1, 3, 2)
+        p, r, f1 = calculate_precision_recall_F1score(TP, FP, FN)
+        assert p == pytest.approx(0.25) and r == pytest.approx(1 / 3)
+
+    def test_residuals(self):
+        truth = [np.array([100.0]), np.array([200.0])]
+        pred = [np.array([110.0]), np.array([150.0, 195.0])]
+        res = compute_residuals(truth, pred, 100.0)
+        np.testing.assert_allclose(sorted(res), [-0.5, -0.05, 0.1])
+
+
+@needs_weights
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def model_params(self):
+        from volpick_tpu.models import from_pretrained
+
+        return from_pretrained("phasenet", search_paths=[WEIGHTS])
+
+    def test_task0_sweep(self, ds, tmp_path, model_params):
+        model, params = model_params
+        generate_task0(ds, tmp_path / "targets")
+        out = eval_task0(
+            model,
+            params,
+            ds,
+            tmp_path / "targets",
+            tmp_path / "eval",
+            sets=("dev", "test"),
+            prob_thresholds=(0.3, 0.5, 0.7),
+            batch_size=16,
+        )
+        assert (tmp_path / "eval" / "test_metrics.csv").exists()
+        m = pd.read_csv(tmp_path / "eval" / "test_metrics.csv")
+        assert len(m) == 3
+        assert {"p_F1score", "s_F1score", "p_modified_RMSE", "s_MAD"} <= set(m.columns)
+        # synthetic events are easy: some recall at moderate threshold
+        assert m["p_recall"].max() > 0.3
+        opt = opt_prob_metrics(tmp_path / "eval")
+        assert "p_threshold" in opt and "test_p_F1score" in opt
+
+    def test_task123(self, ds, tmp_path, model_params):
+        model, params = model_params
+        generate_task1(ds, tmp_path / "targets", noise_before_events=True)
+        generate_task23(ds, tmp_path / "targets")
+        eval_tasks123(model, params, ds, tmp_path / "targets", tmp_path / "eval", batch_size=16)
+        t1 = parse_task1(tmp_path / "eval")
+        assert "dev_det_auc" in t1 and "test_det_f1" in t1
+        assert t1["dev_det_auc"] > 0.6  # synthetic events are detectable
+        t23 = parse_task23(tmp_path / "eval")
+        if "test_P_mae_s" in t23:
+            assert t23["test_P_mae_s"] < 5.0
+        df = collect_task123_results(tmp_path, ["eval"])
+        assert len(df) == 1

@@ -1,0 +1,167 @@
+"""Trainer tests: loss formulas vs torch, smoke training on synthetic data
+(loss decreases, checkpoints + CSV written), data-parallel step over the
+8-device CPU mesh, schedules, EMA."""
+
+import json
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from volpick_tpu.data.synthetic import make_synthetic_dataset
+from volpick_tpu.train.losses import bce, vector_cross_entropy, weighted_bce
+from volpick_tpu.train.schedules import EarlyStopper, PlateauScheduler, warmup_scale
+from volpick_tpu.train.ema import ema_update
+from volpick_tpu.train.trainer import Trainer, merge_bn_updates, prepare_data, train
+
+
+class TestLosses:
+    def test_vector_ce_matches_torch_formula(self, rng):
+        import torch
+
+        yp = rng.random((4, 3, 100)).astype(np.float32)
+        yp /= yp.sum(1, keepdims=True)
+        yt = rng.random((4, 3, 100)).astype(np.float32)
+        got = float(vector_cross_entropy(jnp.asarray(yp), jnp.asarray(yt)))
+        h = torch.from_numpy(yt) * torch.log(torch.from_numpy(yp) + 1e-5)
+        ref = float(-(h.mean(-1).sum(-1)).mean())
+        assert got == pytest.approx(ref, rel=1e-5)
+
+    def test_bce_matches_torch(self, rng):
+        import torch
+
+        p = rng.random((8, 100)).astype(np.float32)
+        t = (rng.random((8, 100)) > 0.5).astype(np.float32)
+        got = float(bce(jnp.asarray(p), jnp.asarray(t)))
+        ref = float(torch.nn.BCELoss()(torch.from_numpy(p), torch.from_numpy(t)))
+        assert got == pytest.approx(ref, rel=1e-4)
+
+
+class TestSchedules:
+    def test_warmup(self):
+        assert warmup_scale(0) == pytest.approx(1 / 500)
+        assert warmup_scale(499) == 1.0
+        assert warmup_scale(5000) == 1.0
+
+    def test_plateau(self):
+        sch = PlateauScheduler(base_lr=1.0, factor=0.5, patience=2, min_lr=0.1)
+        lrs = [sch.step(1.0) for _ in range(6)]  # flat loss
+        # first call sets best; then 3 bad epochs trigger a cut at call 4
+        assert lrs[3] == 0.5 or lrs[4] == 0.5
+        for _ in range(20):
+            sch.step(1.0)
+        assert sch.lr == pytest.approx(0.125, abs=1e-9) or sch.lr >= 0.1
+
+    def test_early_stopper(self):
+        st = EarlyStopper(patience=3)
+        assert not st.step(1.0)
+        flags = [st.step(1.0) for _ in range(5)]
+        assert flags[-1] is True
+
+    def test_ema(self):
+        a = {"w": jnp.ones(3)}
+        b = {"w": jnp.zeros(3)}
+        out = ema_update(a, b, 0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+class TestMergeBN:
+    def test_merge(self):
+        tree = {"in_bn": {"mean": jnp.zeros(2), "var": jnp.ones(2), "scale": jnp.ones(2)},
+                "down": [{"bn1": {"mean": jnp.zeros(2)}}]}
+        up = {"in_bn": {"mean": jnp.ones(2)}, "down.0.bn1": {"mean": jnp.full((2,), 5.0)}}
+        out = merge_bn_updates(tree, up)
+        np.testing.assert_allclose(np.asarray(out["in_bn"]["mean"]), 1.0)
+        np.testing.assert_allclose(np.asarray(out["down"][0]["bn1"]["mean"]), 5.0)
+        np.testing.assert_allclose(np.asarray(out["in_bn"]["var"]), 1.0)  # untouched
+
+
+@pytest.fixture(scope="module")
+def synth_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train_ds")
+    make_synthetic_dataset(d, n_events=48, n_noise=16, n_samples=4096, seed=5)
+    return d
+
+
+class TestTraining:
+    def test_smoke_train_phasenet(self, synth_path, tmp_path):
+        config = {
+            "model": "PhaseNet",
+            "model_args": {"lr": 2e-3, "sigma": 20},
+            "data": str(synth_path),
+            "batch_size": 16,
+            "trainer_args": {"max_epochs": 4},
+            "stack_data": True,
+            "warmup_steps": 4,
+            "save_dir": str(tmp_path / "weights"),
+        }
+        result = train(config, experiment_name="smoke")
+        hist = result["history"]
+        assert len(hist) == 4
+        assert all(math.isfinite(h["train_loss"]) for h in hist)
+        # loss should improve over 4 epochs on this easy synthetic set
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        exp = result["exp_dir"]
+        assert os.path.exists(os.path.join(exp, "metrics.csv"))
+        assert os.path.exists(os.path.join(exp, "hparams.json"))
+        assert os.path.exists(os.path.join(exp, "checkpoints", "last.ckpt"))
+        assert result["best_checkpoint"] != "None"
+
+    def test_smoke_train_eqt_with_ema(self, synth_path, tmp_path):
+        # tiny EQT variant: full-size model is slow on CPU, so shrink windows?
+        # EQT geometry is fixed by its pooling; run 1 epoch with few traces.
+        config = {
+            "model": "EQTransformer",
+            "model_args": {"lr": 1e-3, "sigma": 20},
+            "data": str(synth_path),
+            "batch_size": 8,
+            "trainer_args": {"max_epochs": 1},
+            "stack_data": False,
+            "ema": True,
+            "save_dir": str(tmp_path / "weights"),
+            "training_fraction": 0.25,
+        }
+        result = train(config, experiment_name="smoke_eqt")
+        assert math.isfinite(result["history"][0]["train_loss"])
+        # EMA checkpoint pair exists
+        import glob
+
+        assert glob.glob(os.path.join(result["exp_dir"], "checkpoints", "*-EMA.ckpt"))
+
+    def test_multidevice_data_parallel(self, synth_path):
+        """Train step over the full 8-device CPU mesh."""
+        assert jax.device_count() == 8
+        from volpick_tpu.models import PhaseNet
+        from volpick_tpu.pipeline.augmentations import AugmentConfig
+        from volpick_tpu.pipeline.generator import TrainGenerator
+        from volpick_tpu.data import WaveformDataset
+
+        ds = WaveformDataset(synth_path).get_split("train")
+        model = PhaseNet()
+        trainer = Trainer(model, lr=1e-3)
+        cfg = AugmentConfig(window=3001, stack=False)
+        gen = TrainGenerator(ds, cfg, batch_size=16)
+        res = trainer.fit(gen, None, max_epochs=1, save_dir="/tmp/vt_test_w", experiment="dp8")
+        assert math.isfinite(res["history"][0]["train_loss"])
+
+    def test_checkpoint_roundtrip(self, synth_path, tmp_path):
+        from volpick_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+        from volpick_tpu.models import PhaseNet
+
+        model = PhaseNet()
+        params = model.init(jax.random.PRNGKey(0))
+        state = {"params": params, "ema_params": None, "swa_params": None,
+                 "opt_state": None, "step": 7, "epoch": 1}
+        p = tmp_path / "c.ckpt"
+        save_checkpoint(p, state)
+        # lists serialize as index-keyed dicts; pass a target to restore
+        # the original structure
+        loaded = load_checkpoint(p, target=state)
+        assert loaded["step"] == 7
+        x = jnp.ones((1, 3, 3001))
+        y1 = model.apply(params, x)
+        y2 = model.apply(jax.tree_util.tree_map(jnp.asarray, loaded["params"]), x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)

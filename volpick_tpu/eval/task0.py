@@ -1,0 +1,339 @@
+"""Task-0 evaluation: threshold-sweep pick benchmark (reference
+`volpick/model/eval_taks0.py`).
+
+Pipeline per threshold in 0.1..0.9: steered batched inference on the task0
+windows → per-trace pick extraction with trigger_onset(prob, thr, thr/2) +
+in-trigger argmax → TP/FP/FN within ±0.5 s → precision/recall/F1 + the full
+residual-statistics block (std/MAE/MAD/outlier fraction, clipped and trimmed
+variants) per phase. Writes {set}_metrics.csv (one row per threshold) and
+{set}_task0.csv (per-trace picks at each threshold).
+
+TPU path: the model forward runs in jitted fixed-size batches; pick extraction
+uses the vectorized on-device trigger (ops.triggers.extract_picks_batched).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from volpick_tpu.ops.triggers import extract_picks_batched
+from volpick_tpu.pipeline.generator import eval_batch
+
+SAMPLING_RATE = 100.0
+
+
+# ------------------------------------------------------------------- metrics
+def count_TP_FP_FN(picks_truth, picks_predicted, tp_thre=0.5, sampling_rate=100, method=0):
+    """±tp_thre-second matching (reference `eval_taks0.py:242-311`)."""
+    tps = np.zeros(len(picks_predicted))
+    fps = np.zeros(len(picks_predicted))
+    fns = np.zeros(len(picks_predicted))
+    for i in range(len(tps)):
+        truth, pred = picks_truth[i], picks_predicted[i]
+        if method == 0:
+            if len(pred) == 0:
+                fns[i] += len(truth)
+            elif len(truth) == 0:
+                fps[i] += len(pred)
+            else:
+                for t in truth:
+                    if np.any(np.abs((pred - t) / sampling_rate) <= tp_thre):
+                        tps[i] += 1
+                    else:
+                        fns[i] += 1
+                for p in pred:
+                    if np.all(np.abs((p - truth) / sampling_rate) > tp_thre):
+                        fps[i] += 1
+        else:  # method == 1: one pick per trace, ambiguous cases count as FP
+            if len(pred) == 0:
+                if len(truth) > 0:
+                    fns[i] += 1
+            elif len(truth) == 0:
+                fps[i] += 1
+            elif np.any(np.abs((pred - truth[0]) / sampling_rate) <= tp_thre):
+                tps[i] += 1
+            else:
+                fps[i] += 1
+    return np.sum(tps), np.sum(fps), np.sum(fns), tps, fps, fns
+
+
+def calculate_precision_recall_F1score(TP, FP, FN):
+    precision = TP / (TP + FP)
+    recall = TP / (TP + FN)
+    return precision, recall, 2.0 * precision * recall / (precision + recall)
+
+
+def compute_residuals(picks_truth, picks_predicted, sampling_rate, method=0):
+    residuals = []
+    for i in range(len(picks_truth)):
+        if len(picks_truth[i]) and len(picks_predicted[i]):
+            if method == 0:
+                for p in picks_predicted[i]:
+                    res = p - picks_truth[i]
+                    residuals.append(res[np.argmin(np.abs(res))] / sampling_rate)
+            else:
+                res = picks_predicted[i] - picks_truth[i][0]
+                residuals.append(res[np.argmin(np.abs(res))] / sampling_rate)
+    return np.array(residuals)
+
+
+def _residual_stats(residuals: np.ndarray, prefix: str) -> Dict:
+    """The ~18 per-phase residual statistics columns of {set}_metrics.csv."""
+    cols = [
+        "mean", "median", "std", "MAE", "MAD", "out",
+        "modified_mean", "modified_median", "modified_std", "modified_RMSE",
+        "modified_MAE", "modified_MAD",
+        "modified_mean2", "modified_median2", "modified_std2", "modified_RMSE2",
+        "modified_MAE2", "modified_MAD2",
+    ]
+    if len(residuals) == 0:
+        return {f"{prefix}_{c}": None for c in cols}
+    r = residuals
+    clip = np.clip(r, -1, 1)
+    trim = r[(r > -1) & (r < 1)]
+    out = {
+        f"{prefix}_mean": np.mean(r),
+        f"{prefix}_median": np.median(r),
+        f"{prefix}_std": np.std(r, ddof=1),
+        f"{prefix}_MAE": np.mean(np.abs(r)),
+        f"{prefix}_MAD": np.median(np.abs(r - np.median(r))),
+        f"{prefix}_out": np.sum((r < -1) | (r > 1)) / r.size,
+        f"{prefix}_modified_mean": np.mean(clip),
+        f"{prefix}_modified_median": np.median(clip),
+        f"{prefix}_modified_std": np.std(clip, ddof=1),
+        f"{prefix}_modified_RMSE": np.sqrt(np.mean(clip**2)),
+        f"{prefix}_modified_MAE": np.mean(np.abs(clip)),
+        f"{prefix}_modified_MAD": np.median(np.abs(clip - np.median(clip))),
+    }
+    if len(trim):
+        out.update(
+            {
+                f"{prefix}_modified_mean2": np.mean(trim),
+                f"{prefix}_modified_median2": np.median(trim),
+                f"{prefix}_modified_std2": np.std(trim, ddof=1) if len(trim) > 1 else 0.0,
+                f"{prefix}_modified_RMSE2": np.sqrt(np.mean(trim**2)),
+                f"{prefix}_modified_MAE2": np.mean(np.abs(trim)),
+                f"{prefix}_modified_MAD2": np.median(np.abs(trim - np.median(trim))),
+            }
+        )
+    else:
+        out.update({f"{prefix}_modified_{c}2": None for c in ("mean", "median", "std", "RMSE", "MAE", "MAD")})
+    return out
+
+
+# ----------------------------------------------------------------- inference
+class _SteeredRunner:
+    """Batched steered inference returning stacked P/S probability windows."""
+
+    def __init__(self, model, params, batch_size: int = 256):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.is_eqt = model.name == "EQTransformer"
+
+        @jax.jit
+        def forward(params, x):
+            if self.is_eqt:
+                det, p, s = model.apply(params, x)
+                return jnp.stack([det, p, s], axis=1)
+            return model.apply(params, x)
+
+        self._forward = forward
+
+    def prob_curves(self, dataset, targets: pd.DataFrame) -> np.ndarray:
+        """(N, K, window) probability curves for all target windows."""
+        window = self.model.in_samples
+        outs = []
+        borders = []
+        idxs = targets["trace_idx"].to_numpy()
+        ss = targets["start_sample"].to_numpy()
+        es = targets["end_sample"].to_numpy()
+        for lo in range(0, len(targets), self.batch_size):
+            hi = min(lo + self.batch_size, len(targets))
+            x, border = eval_batch(
+                dataset,
+                idxs[lo:hi],
+                window,
+                ss[lo:hi],
+                es[lo:hi],
+                norm=self.model.norm,
+                detrend=self.is_eqt,
+            )
+            pad = self.batch_size - (hi - lo)
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            pred = np.asarray(self._forward(self.params, jnp.asarray(x)))[: hi - lo]
+            outs.append(pred)
+            borders.append(border)
+        return np.concatenate(outs), np.concatenate(borders)
+
+
+def _phase_channels(model) -> Dict[str, int]:
+    if model.name == "EQTransformer":
+        return {"P": 1, "S": 2}
+    return {"P": model.phases.index("P"), "S": model.phases.index("S")}
+
+
+def evaluate(
+    model,
+    params,
+    dataset,
+    targets: pd.DataFrame,
+    prob_threshold: float,
+    batch_size: int = 256,
+    curves: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Per-trace P/S pick lists (absolute sample indices in the trace)."""
+    if curves is None:
+        runner = _SteeredRunner(model, params, batch_size)
+        preds, borders = runner.prob_curves(dataset, targets)
+    else:
+        preds, borders = curves
+    chans = _phase_channels(model)
+    starts = targets["start_sample"].to_numpy()
+    results = {}
+    window = preds.shape[-1]
+    t = np.arange(window)[None, :]
+    region = (t >= borders[:, :1]) & (t < borders[:, 1:2])
+    for phase, ki in chans.items():
+        prob = preds[:, ki] * region  # restrict to the steered region
+        idx, val, valid = extract_picks_batched(jnp.asarray(prob), prob_threshold, max_picks=16)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        picks = []
+        for i in range(len(targets)):
+            p = idx[i][valid[i]]
+            # window position → absolute trace sample:
+            # window starts at start_sample - border_lo
+            w0 = starts[i] - borders[i, 0]
+            picks.append(p + w0)
+        results[phase] = picks
+    return results["P"], results["S"]
+
+
+def get_ground_truth(dataset, targets: pd.DataFrame):
+    """Per-window P/S ground-truth picks (reference `eval_taks0.py:203-239`)."""
+    from volpick_tpu.pipeline.generator import _onset_arrays
+
+    p_all, s_all = _onset_arrays(dataset.metadata)
+    p_gt, s_gt = [], []
+    for _, row in targets.iterrows():
+        i = int(row["trace_idx"])
+        s0, s1 = row["start_sample"], row["end_sample"]
+        pt, st = p_all[i], s_all[i]
+        p_gt.append(np.array([pt]) if (not np.isnan(pt) and s0 <= pt < s1) else np.array([]))
+        s_gt.append(np.array([st]) if (not np.isnan(st) and s0 <= st < s1) else np.array([]))
+    return p_gt, s_gt
+
+
+# -------------------------------------------------------------------- driver
+def eval_task0(
+    model,
+    params,
+    dataset,
+    targets_path,
+    output_dir,
+    sets: Sequence[str] = ("dev", "test"),
+    prob_thresholds: Sequence[float] = tuple(np.arange(0.1, 0.95, 0.1)),
+    batch_size: int = 256,
+    num_test_run: Optional[int] = None,
+    count_tp_method: int = 0,
+    no_p: bool = False,
+    no_s: bool = False,
+):
+    """Threshold sweep; writes {set}_metrics.csv + {set}_task0.csv rows."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    task_targets_all = pd.read_csv(Path(targets_path) / "task0.csv")
+    results = {}
+    for set_name in sets:
+        targets = task_targets_all[task_targets_all["trace_split"] == set_name].reset_index(drop=True)
+        if num_test_run:
+            targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
+        if not len(targets):
+            continue
+        runner = _SteeredRunner(model, params, batch_size)
+        curves = runner.prob_curves(dataset, targets)
+        p_gt, s_gt = get_ground_truth(dataset, targets)
+        rows = []
+        pick_rows = []
+        for thr in prob_thresholds:
+            p_pred, s_pred = evaluate(model, params, dataset, targets, thr, curves=curves)
+            row = {"prob_threshold": thr}
+            for phase, gt, pred, skip in (("p", p_gt, p_pred, no_p), ("s", s_gt, s_pred, no_s)):
+                if skip:
+                    continue
+                TP, FP, FN, *_ = count_TP_FP_FN(gt, pred, method=count_tp_method)
+                if TP + FP > 0 and TP + FN > 0 and TP > 0:
+                    prec, rec, f1 = calculate_precision_recall_F1score(TP, FP, FN)
+                else:
+                    prec = rec = f1 = 0.0
+                row.update(
+                    {
+                        f"{phase}_TP": TP,
+                        f"{phase}_FP": FP,
+                        f"{phase}_FN": FN,
+                        f"{phase}_precision": prec,
+                        f"{phase}_recall": rec,
+                        f"{phase}_F1score": f1,
+                    }
+                )
+                res = compute_residuals(gt, pred, SAMPLING_RATE, method=count_tp_method)
+                row.update(_residual_stats(res, phase))
+            rows.append(row)
+            for i in range(len(targets)):
+                pick_rows.append(
+                    {
+                        "trace_name": targets.iloc[i]["trace_name"],
+                        "trace_idx": targets.iloc[i]["trace_idx"],
+                        "prob_threshold": thr,
+                        "p_picks": list(np.asarray(p_pred[i], dtype=float)),
+                        "s_picks": list(np.asarray(s_pred[i], dtype=float)),
+                    }
+                )
+        metrics = pd.DataFrame(rows)
+        metrics.to_csv(output_dir / f"{set_name}_metrics.csv", index=False)
+        pd.DataFrame(pick_rows).to_csv(output_dir / f"{set_name}_task0.csv", index=False)
+        results[set_name] = metrics
+    return results
+
+
+def opt_prob_metrics(output_dir, phases=("p", "s")) -> Dict:
+    """Dev-F1-optimal threshold per phase applied to the test sweep
+    (reference `eval_taks0.py:1139-1294`)."""
+    output_dir = Path(output_dir)
+    dev = pd.read_csv(output_dir / "dev_metrics.csv")
+    test = pd.read_csv(output_dir / "test_metrics.csv")
+    out = {}
+    for phase in phases:
+        col = f"{phase}_F1score"
+        if col not in dev.columns:
+            continue
+        i = int(dev[col].fillna(-1).idxmax())
+        thr = float(dev.iloc[i]["prob_threshold"])
+        out[f"{phase}_threshold"] = thr
+        j = int(np.argmin(np.abs(test["prob_threshold"].to_numpy() - thr)))
+        for c in test.columns:
+            if c.startswith(f"{phase}_"):
+                out[f"test_{c}"] = test.iloc[j][c]
+        out[f"dev_{phase}_F1score"] = dev.iloc[i][col]
+    return out
+
+
+def collect_task0_results(base_dir, experiments: Sequence[str]) -> pd.DataFrame:
+    """Aggregate opt_prob_metrics across experiment output dirs."""
+    rows = []
+    for exp in experiments:
+        d = Path(base_dir) / exp
+        if not (d / "dev_metrics.csv").exists():
+            continue
+        row = {"experiment": exp}
+        row.update(opt_prob_metrics(d))
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -1,0 +1,249 @@
+"""Tasks 1/2/3: SeisBench pick-benchmark protocol (reference
+`volpick/model/eval_taks123.py`).
+
+- eval_tasks123: steered inference producing per-window
+  (score_detection, score_p_or_s, p_sample_pred, s_sample_pred) —
+  the predict_step contract of the reference (`models.py:454-480`, `:881-906`)
+  — written to {set}_task{1,23}.csv;
+- parse_task1: detection PR/AUC with the dev-F1-optimal threshold applied to
+  test;
+- parse_task23: P-vs-S precision/recall/F1 + MCC (50-candidate threshold
+  scan) and onset-residual statistics (mean/median/RMSE/MAE, outlier fraction
+  and |r|<1 s trimmed variants).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from volpick_tpu.pipeline.generator import eval_batch
+
+
+def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: int = 256):
+    """Batched predict_step: masked max/argmax within the steered region."""
+    is_eqt = model.name == "EQTransformer"
+    window = model.in_samples
+
+    @jax.jit
+    def forward(params, x, borders):
+        t = jnp.arange(window)[None, :]
+        mask = (t >= borders[:, :1]) & (t < borders[:, 1:2])
+        if is_eqt:
+            det, p, s = model.apply(params, x)
+            det_m = jnp.where(mask, det, -jnp.inf)
+            p_m = jnp.where(mask, p, -jnp.inf)
+            s_m = jnp.where(mask, s, -jnp.inf)
+            score_det = jnp.max(det_m, axis=-1)
+            score_ps = jnp.max(p_m, axis=-1) / jnp.max(s_m, axis=-1)
+            p_sample = jnp.argmax(p_m, axis=-1)
+            s_sample = jnp.argmax(s_m, axis=-1)
+        else:
+            pred = model.apply(params, x)
+            pi, si, ni = (model.phases.index(c) for c in "PSN")
+            p_m = jnp.where(mask, pred[:, pi], -jnp.inf)
+            s_m = jnp.where(mask, pred[:, si], -jnp.inf)
+            n_m = jnp.where(mask, pred[:, ni], jnp.inf)
+            score_det = jnp.max(1 - n_m, axis=-1)
+            score_ps = jnp.max(p_m, axis=-1) / jnp.max(s_m, axis=-1)
+            p_sample = jnp.argmax(p_m, axis=-1)
+            s_sample = jnp.argmax(s_m, axis=-1)
+        return score_det, score_ps, p_sample, s_sample
+
+    idxs = targets["trace_idx"].to_numpy()
+    ss = targets["start_sample"].to_numpy()
+    es = targets["end_sample"].to_numpy()
+    out = {"score_detection": [], "score_p_or_s": [], "p_sample_pred": [], "s_sample_pred": []}
+    for lo in range(0, len(targets), batch_size):
+        hi = min(lo + batch_size, len(targets))
+        x, borders = eval_batch(
+            dataset, idxs[lo:hi], window, ss[lo:hi], es[lo:hi], norm=model.norm, detrend=is_eqt
+        )
+        pad = batch_size - (hi - lo)
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            borders = np.concatenate([borders, np.tile([[0, window]], (pad, 1))])
+        det, ps, p_s, s_s = forward(params, jnp.asarray(x), jnp.asarray(borders))
+        n = hi - lo
+        # predictions are window-relative; re-offset to region-relative samples
+        # (the reference predict_step slices the region, so its argmax is
+        # region-relative: subtract border_lo)
+        out["score_detection"].append(np.asarray(det)[:n])
+        out["score_p_or_s"].append(np.asarray(ps)[:n])
+        out["p_sample_pred"].append(np.asarray(p_s)[:n] - borders[:n, 0])
+        out["s_sample_pred"].append(np.asarray(s_s)[:n] - borders[:n, 0])
+    return {k: np.concatenate(v) for k, v in out.items()}
+
+
+def eval_tasks123(
+    model,
+    params,
+    dataset,
+    targets_path,
+    output_dir,
+    sets: Sequence[str] = ("dev", "test"),
+    batch_size: int = 256,
+    num_test_run: Optional[int] = None,
+):
+    """Writes {set}_task1.csv and {set}_task23.csv prediction tables."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    targets_path = Path(targets_path)
+    for task, fname in (("1", "task1.csv"), ("23", "task23.csv")):
+        f = targets_path / fname
+        if not f.exists():
+            continue
+        all_targets = pd.read_csv(f)
+        for set_name in sets:
+            targets = all_targets[all_targets["trace_split"] == set_name].reset_index(drop=True)
+            if num_test_run:
+                targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
+            if not len(targets):
+                continue
+            scores = _predict_scores(model, params, dataset, targets, batch_size)
+            pred = targets.copy()
+            for k, v in scores.items():
+                pred[k] = v
+            # absolute onset prediction for task3 convenience: region-relative
+            # sample + start_sample gives the trace-absolute sample
+            pred.to_csv(output_dir / f"{set_name}_task{task}.csv", index=False)
+    return output_dir
+
+
+def parse_task1(exp_dir) -> Dict:
+    from sklearn.metrics import (
+        precision_recall_curve,
+        precision_recall_fscore_support,
+        roc_auc_score,
+    )
+
+    exp_dir = Path(exp_dir)
+    if not ((exp_dir / "dev_task1.csv").is_file() and (exp_dir / "test_task1.csv").is_file()):
+        return {}
+    dev = pd.read_csv(exp_dir / "dev_task1.csv")
+    test = pd.read_csv(exp_dir / "test_task1.csv")
+    dev["bin"] = dev["trace_type"] == "earthquake"
+    test["bin"] = test["trace_type"] == "earthquake"
+
+    prec, recall, thr = precision_recall_curve(dev["bin"], dev["score_detection"])
+    with np.errstate(invalid="ignore"):
+        f1 = 2 * prec * recall / (prec + recall)
+    auc = roc_auc_score(dev["bin"], dev["score_detection"]) if dev["bin"].nunique() > 1 else np.nan
+    opt = int(np.nanargmax(f1))
+    opt_thr = thr[min(opt, len(thr) - 1)]
+    stats = {
+        "dev_det_precision": prec[opt],
+        "dev_det_recall": recall[opt],
+        "dev_det_f1": f1[opt],
+        "dev_det_auc": auc,
+        "det_threshold": opt_thr,
+    }
+    p, r, f, _ = precision_recall_fscore_support(
+        test["bin"], test["score_detection"] > opt_thr, average="binary", zero_division=0
+    )
+    stats.update(
+        {
+            "test_det_precision": p,
+            "test_det_recall": r,
+            "test_det_f1": f,
+            "test_det_auc": roc_auc_score(test["bin"], test["score_detection"])
+            if test["bin"].nunique() > 1
+            else np.nan,
+        }
+    )
+    return stats
+
+
+def parse_task23(exp_dir) -> Dict:
+    from sklearn.metrics import (
+        matthews_corrcoef,
+        precision_recall_curve,
+        precision_recall_fscore_support,
+    )
+
+    exp_dir = Path(exp_dir)
+    if not ((exp_dir / "dev_task23.csv").is_file() and (exp_dir / "test_task23.csv").is_file()):
+        return {}
+    dev = pd.read_csv(exp_dir / "dev_task23.csv")
+    test = pd.read_csv(exp_dir / "test_task23.csv")
+    for df in (dev, test):
+        df["bin"] = df["phase_label"] == "P"
+        for col in ("s_sample_pred", "score_p_or_s"):
+            if col not in df.columns:
+                df[col] = np.nan
+        df["score_p_or_s"] = np.clip(df["score_p_or_s"].to_numpy(), -1e100, 1e100)
+
+    stats: Dict = {}
+    dev_r = dev[~np.isnan(dev["score_p_or_s"])]
+    if len(dev_r):
+        prec, recall, thr = precision_recall_curve(dev_r["bin"], dev_r["score_p_or_s"])
+        with np.errstate(invalid="ignore"):
+            f1 = 2 * prec * recall / (prec + recall)
+        opt = int(np.nanargmax(f1))
+        opt_thr = thr[min(opt, len(thr) - 1)]
+        mcc_thrs = np.sort(dev["score_p_or_s"].to_numpy())
+        mcc_thrs = mcc_thrs[np.linspace(0, len(mcc_thrs) - 1, 50, dtype=int)]
+        mccs = [matthews_corrcoef(dev["bin"], dev["score_p_or_s"] > t) for t in mcc_thrs]
+        stats.update(
+            {
+                "dev_phase_precision": prec[opt],
+                "dev_phase_recall": recall[opt],
+                "dev_phase_f1": f1[opt],
+                "phase_threshold": opt_thr,
+                "dev_phase_mcc": np.max(mccs),
+                "phase_threshold_mcc": mcc_thrs[int(np.argmax(mccs))],
+            }
+        )
+        test_r = test[~np.isnan(test["score_p_or_s"])]
+        p, r, f, _ = precision_recall_fscore_support(
+            test_r["bin"], test_r["score_p_or_s"] > opt_thr, average="binary", zero_division=0
+        )
+        stats.update(
+            {
+                "test_phase_precision": p,
+                "test_phase_recall": r,
+                "test_phase_f1": f,
+                "test_phase_mcc": matthews_corrcoef(
+                    test["bin"], test["score_p_or_s"] > stats["phase_threshold_mcc"]
+                ),
+            }
+        )
+
+    for pred, set_str in ((dev, "dev"), (test, "test")):
+        for phase in ("P", "S"):
+            sub = pred[pred["phase_label"] == phase]
+            col = f"{phase.lower()}_sample_pred"
+            if not len(sub):
+                continue
+            # predictions are region-relative; onsets are trace-absolute
+            diff = (sub[col] + sub["start_sample"] - sub["phase_onset"]) / sub["sampling_rate"]
+            diff = diff.to_numpy()
+            stats[f"{set_str}_{phase}_mean_s"] = np.mean(diff)
+            stats[f"{set_str}_{phase}_median_s"] = np.median(diff)
+            stats[f"{set_str}_{phase}_rmse_s"] = np.sqrt(np.mean(diff**2))
+            stats[f"{set_str}_{phase}_mae_s"] = np.mean(np.abs(diff))
+            trimmed = diff[(diff > -1) & (diff < 1)]
+            stats[f"{set_str}_{phase}_out_s"] = np.sum((diff > 1) | (diff < -1)) / len(diff)
+            stats[f"{set_str}_{phase}_modified_rmse_s"] = (
+                np.sqrt(np.mean(trimmed**2)) if len(trimmed) else np.nan
+            )
+            stats[f"{set_str}_{phase}_modified_mae_s"] = (
+                np.mean(np.abs(trimmed)) if len(trimmed) else np.nan
+            )
+    return stats
+
+
+def collect_task123_results(base_dir, experiments: Sequence[str]) -> pd.DataFrame:
+    rows = []
+    for exp in experiments:
+        d = Path(base_dir) / exp
+        row = {"experiment": exp}
+        row.update(parse_task1(d))
+        row.update(parse_task23(d))
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -124,8 +124,10 @@ class TrainGenerator:
             idx = order[i * self.batch_size : (i + 1) * self.batch_size]
             prim = self.primary.take(idx)
             if len(idx) < self.batch_size:  # final partial batch (drop_last=False)
-                pad = self.batch_size - len(idx)
-                prim = {k: np.concatenate([v, v[:pad]]) for k, v in prim.items()}
+                reps = math.ceil(self.batch_size / len(idx))
+                prim = {
+                    k: np.concatenate([v] * reps)[: self.batch_size] for k, v in prim.items()
+                }
             if stack_on:
                 sec = self.eq.random_batch(self.rng, self.batch_size)
                 sec2 = self.eq.random_batch(self.rng, self.batch_size)

@@ -1,0 +1,470 @@
+"""Config-driven data-parallel trainer (the reference's `train.py` surface).
+
+JSON config schema mirrors the reference (`volpick/model/train.py:67-78`):
+{
+  "model": "PhaseNet" | "EQTransformer",
+  "model_args": {lr, sigma, prob_label_shape, sample_boundaries,
+                 detection_fixed_window, loss_weights, ...model kwargs},
+  "data": <dataset path>,
+  "batch_size": 512, "num_workers": ignored,
+  "trainer_args": {"max_epochs": 400},
+  "stack_data": true, "ema": true, "swa": {"swa_lrs": ..., "swa_epoch_start": ...},
+  "early_stop": true, "restrict_to_phase": "P"|"S"|null,
+  "training_fraction": 1.0, "whole_dataset": false, "save_dir": "weights"
+}
+
+TPU-first execution: one jitted train step over a `Mesh(('data',))` with the
+batch sharded on the data axis and parameters replicated — XLA inserts the
+gradient all-reduce over ICI. EMA is fused into the step; the LR (base ×
+500-step linear warm-up × ReduceLROnPlateau scale) enters as a scalar
+argument so LR changes never recompile.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from volpick_tpu import logger
+from volpick_tpu.models import EQTransformer, PhaseNet
+from volpick_tpu.pipeline.augmentations import AugmentConfig
+from volpick_tpu.pipeline.generator import TrainGenerator
+from volpick_tpu.train.checkpoints import CheckpointManager, CSVMetricsLogger
+from volpick_tpu.train.ema import ema_update, swa_update
+from volpick_tpu.train.losses import vector_cross_entropy, weighted_bce
+from volpick_tpu.train.schedules import EarlyStopper, PlateauScheduler, warmup_scale
+
+
+def _set_path(tree, path: str, value: Dict):
+    """Functionally merge `value` keys into the node at dotted `path`."""
+    parts = path.split(".")
+
+    def rec(node, i):
+        if i == len(parts):
+            new = dict(node)
+            new.update(value)
+            return new
+        part = parts[i]
+        if isinstance(node, list):
+            idx = int(part)
+            return [rec(v, i + 1) if j == idx else v for j, v in enumerate(node)]
+        new = dict(node)
+        new[part] = rec(node[part], i + 1)
+        return new
+
+    return rec(tree, 0)
+
+
+def merge_bn_updates(params, updates: Dict[str, Dict]):
+    for path, value in updates.items():
+        params = _set_path(params, path, value)
+    return params
+
+
+def make_augment_config(model, model_args: Dict, stack: bool) -> AugmentConfig:
+    sigma = float(model_args.get("sigma", 20))
+    shape = model_args.get("prob_label_shape", "gaussian")
+    if shape == "triangle":
+        sigma *= 2  # reference `models.py:154-155`
+    if isinstance(model, EQTransformer):
+        return AugmentConfig(
+            window=model.in_samples,
+            pre_window=2 * model.in_samples,
+            samples_before=model.in_samples,
+            sigma=sigma,
+            label_shape=shape,
+            noise_column=False,
+            detection=True,
+            detection_fixed_window=model_args.get("detection_fixed_window"),
+            norm=model.norm,
+            detrend=True,
+            stack=stack,
+        )
+    return AugmentConfig(
+        window=model.in_samples,
+        pre_window=6000,
+        samples_before=3000,
+        sigma=sigma,
+        label_shape=shape,
+        noise_column=True,
+        detection=False,
+        norm=model.norm,
+        detrend=False,
+        stack=stack,
+    )
+
+
+class Trainer:
+    """Data-parallel trainer for a (model, params) pair."""
+
+    def __init__(
+        self,
+        model,
+        params=None,
+        lr: float = 1e-3,
+        loss_weights=(0.05, 0.40, 0.55),
+        ema: bool = False,
+        ema_decay: float = 0.999,
+        swa: Optional[dict] = None,
+        warmup_steps: int = 500,
+        lr_scheduler: Optional[str] = "ReduceLROnPlateau",
+        lr_scheduler_args: Optional[dict] = None,
+        monitor: str = "val_loss",
+        seed: int = 42,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.params = params if params is not None else model.init(jax.random.PRNGKey(seed))
+        self.lr = lr
+        self.loss_weights = tuple(loss_weights)
+        self.ema = ema
+        self.ema_decay = ema_decay
+        self.swa = swa or None
+        self.warmup_steps = warmup_steps
+        self.monitor = monitor
+        self.seed = seed
+        self.is_eqt = isinstance(model, EQTransformer)
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        self.repl = NamedSharding(mesh, P())
+        self.batch_sharding = NamedSharding(mesh, P("data"))
+
+        args = dict(lr_scheduler_args or {})
+        args.setdefault("factor", 0.5)
+        args.setdefault("patience", 20)
+        args.setdefault("min_lr", 1e-6)
+        if lr_scheduler == "ReduceLROnPlateau":
+            self.plateau = PlateauScheduler(base_lr=1.0, **{k: args[k] for k in ("factor", "patience", "min_lr")})
+            self.plateau.lr = 1.0  # plateau controls a *scale*, not the lr itself
+            self.plateau.min_lr = args["min_lr"] / lr  # scale-space floor
+        else:
+            self.plateau = None
+
+        self.tx = optax.scale_by_adam()
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params) if ema else None
+        self.swa_params = None
+        self.swa_n = 0
+        self.step = 0
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ steps
+    def _loss(self, params, batch, train: bool, rng=None):
+        if self.is_eqt:
+            if train:
+                (det, p, s), bn_up = self.model.apply(params, batch["X"], train=True, rng=rng)
+            else:
+                det, p, s = self.model.apply(params, batch["X"])
+                bn_up = {}
+            loss = weighted_bce(
+                det, p, s, batch["detections"][:, 0], batch["y"][:, 0], batch["y"][:, 1], self.loss_weights
+            )
+        else:
+            if train:
+                pred, bn_up = self.model.apply(params, batch["X"], train=True)
+            else:
+                pred = self.model.apply(params, batch["X"])
+                bn_up = {}
+            loss = vector_cross_entropy(pred, batch["y"])
+        return loss, bn_up
+
+    def _build_steps(self):
+        def train_step(params, opt_state, ema_params, batch, lr, rng):
+            (loss, bn_up), grads = jax.value_and_grad(
+                lambda p: self._loss(p, batch, train=True, rng=rng), has_aux=True
+            )(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+            params = merge_bn_updates(params, bn_up)
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, params, self.ema_decay)
+            return params, opt_state, ema_params, loss
+
+        def eval_step(params, batch):
+            loss, _ = self._loss(params, batch, train=False)
+            return loss
+
+        self._train_step = jax.jit(
+            train_step,
+            donate_argnums=(0, 1, 2),
+            in_shardings=(self.repl, self.repl, self.repl, self.batch_sharding, None, None),
+            out_shardings=(self.repl, self.repl, self.repl, self.repl),
+        )
+        self._eval_step = jax.jit(
+            eval_step, in_shardings=(self.repl, self.batch_sharding), out_shardings=self.repl
+        )
+
+    # -------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_gen: TrainGenerator,
+        dev_gen: Optional[TrainGenerator] = None,
+        max_epochs: int = 100,
+        save_dir: Optional[str] = None,
+        experiment: str = "exp",
+        early_stop: bool = False,
+        log_every: int = 5,
+        checkpoint_every_n_steps: Optional[int] = None,
+        hparams: Optional[dict] = None,
+    ) -> Dict:
+        if self._train_step is None:
+            self._build_steps()
+        monitor = self.monitor if dev_gen is not None else "train_loss"
+        exp_dir = Path(save_dir or "weights") / experiment
+        csvlog = CSVMetricsLogger(exp_dir, hparams=hparams or {})
+        ckpt = CheckpointManager(exp_dir / "checkpoints", monitor=monitor, save_ema=self.ema)
+        stopper = EarlyStopper(patience=100) if early_stop else None
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        params, opt_state, ema_params = self.params, self.opt_state, self.ema_params
+        plateau_scale = 1.0
+        t_start = time.perf_counter()
+        history = []
+        swa_start = float(self.swa.get("swa_epoch_start", 0.8)) if self.swa else None
+
+        for epoch in range(max_epochs):
+            # --- train
+            losses = []
+            for batch in train_gen.epoch():
+                lr = self.lr * warmup_scale(self.step, self.warmup_steps) * plateau_scale
+                if self.swa and swa_start is not None and epoch >= swa_start * max_epochs:
+                    lr = float(self.swa.get("swa_lrs", lr))
+                rng, sub = jax.random.split(rng)
+                batch = jax.device_put(batch, self.batch_sharding)
+                params, opt_state, ema_params, loss = self._train_step(
+                    params, opt_state, ema_params, batch, lr, sub
+                )
+                self.step += 1
+                losses.append(loss)  # device scalar; synced once per epoch
+                if checkpoint_every_n_steps and self.step % checkpoint_every_n_steps == 0:
+                    state = self._state(params, opt_state, ema_params, epoch)
+                    ckpt.update(state, {monitor: float(loss)}, epoch, self.step)
+            train_loss = float(np.mean(jax.device_get(losses))) if losses else math.nan
+
+            # --- SWA collection at epoch end
+            if self.swa and epoch >= swa_start * max_epochs:
+                if self.swa_params is None:
+                    self.swa_params = jax.tree_util.tree_map(jnp.copy, params)
+                    self.swa_n = 1
+                else:
+                    self.swa_params = swa_update(self.swa_params, params, self.swa_n)
+                    self.swa_n += 1
+
+            # --- validation (eval-mode forward; EMA weights when enabled,
+            # mirroring the reference's swap_ema_weights around validation)
+            val_loss = math.nan
+            if dev_gen is not None:
+                eval_params = ema_params if ema_params is not None else params
+                vlosses = [
+                    float(self._eval_step(eval_params, jax.device_put(b, self.batch_sharding)))
+                    for b in dev_gen.epoch()
+                ]
+                val_loss = float(np.mean(vlosses)) if vlosses else math.nan
+
+            metrics = {
+                "epoch": epoch,
+                "step": self.step,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": self.lr * warmup_scale(self.step, self.warmup_steps) * plateau_scale,
+                "time_s": time.perf_counter() - t_start,
+            }
+            csvlog.log(metrics)
+            history.append(metrics)
+            logger.info(
+                f"epoch {epoch}: train_loss={train_loss:.5f} val_loss={val_loss:.5f} lr={metrics['lr']:.2e}"
+            )
+
+            monitored = metrics[monitor]
+            state = self._state(params, opt_state, ema_params, epoch)
+            ckpt.update(state, metrics, epoch, self.step)
+            if self.plateau is not None and not math.isnan(monitored):
+                plateau_scale = self.plateau.step(monitored)
+            if stopper is not None and not math.isnan(monitored) and stopper.step(monitored):
+                logger.info(f"early stopping at epoch {epoch}")
+                break
+
+        self.params, self.opt_state, self.ema_params = params, opt_state, ema_params
+        with open(exp_dir / "running_time.txt", "w") as f:
+            f.write(str(time.perf_counter() - t_start))
+        return {"history": history, "best_checkpoint": str(ckpt.best_path), "exp_dir": str(exp_dir)}
+
+    def _state(self, params, opt_state, ema_params, epoch) -> Dict:
+        return {
+            "params": params,
+            "ema_params": ema_params,
+            "swa_params": self.swa_params,
+            "opt_state": opt_state,
+            "step": self.step,
+            "epoch": epoch,
+        }
+
+
+# --------------------------------------------------------------- config entry
+_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer}
+_LIT_ONLY_ARGS = {
+    "lr",
+    "sigma",
+    "prob_label_shape",
+    "sample_boundaries",
+    "rotate_array",
+    "lr_scheduler",
+    "lr_scheduler_args",
+    "lr_monitor",
+    "loss_weights",
+    "detection_fixed_window",
+}
+
+
+def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[AugmentConfig] = None):
+    """Dataset → (train_gen, dev_gen) following `train.py:225-332`."""
+    from volpick_tpu.data import load_dataset
+
+    dataset = load_dataset(config["data"])
+    md = dataset.metadata
+
+    restrict = config.get("restrict_to_phase")
+    if restrict:
+        keep = np.zeros(len(md), dtype=bool)
+        from volpick_tpu.pipeline.generator import _onset_arrays
+
+        p, s = _onset_arrays(md)
+        if "P" in restrict:
+            keep |= ~np.isnan(p)
+        if "S" in restrict:
+            keep |= ~np.isnan(s)
+        keep |= np.isnan(p) & np.isnan(s)  # always keep noise
+        dataset.filter(keep)
+        md = dataset.metadata
+
+    if config.get("whole_dataset"):
+        dataset.metadata["split"] = "train"
+
+    train_ds = dataset.get_split("train")
+    dev_ds = dataset.get_split("dev")
+
+    frac = float(config.get("training_fraction", 1.0))
+    if frac < 1.0:
+        rng = np.random.default_rng(42)
+        n = len(train_ds)
+        keep_idx = rng.permutation(n)[: max(int(n * frac), 1)]
+        mask = np.zeros(n, dtype=bool)
+        mask[keep_idx] = True
+        train_ds.filter(mask)
+
+    if test_run:
+        for ds in (train_ds, dev_ds):
+            if len(ds) > 1000:
+                ds.filter(np.arange(len(ds)) < 1000)
+
+    batch_size = 10 if test_run else int(config.get("batch_size", 256))
+    stack = bool(config.get("stack_data", False))
+    if cfg is None:
+        cfg = make_augment_config(model, config.get("model_args", {}), stack)
+
+    def subsets(ds):
+        if not stack:
+            return None, None
+        from volpick_tpu.pipeline.generator import _onset_arrays
+
+        p, s = _onset_arrays(ds.metadata)
+        eq = ds.filter(~np.isnan(p) | ~np.isnan(s), inplace=False)
+        noise = ds.filter(np.isnan(p) & np.isnan(s), inplace=False)
+        return (eq if len(eq) else None), (noise if len(noise) else None)
+
+    eq_tr, no_tr = subsets(train_ds)
+    eq_dev, no_dev = subsets(dev_ds)
+    train_gen = TrainGenerator(train_ds, cfg, batch_size, eq_dataset=eq_tr, noise_dataset=no_tr, seed=42)
+    dev_gen = (
+        TrainGenerator(
+            dev_ds, cfg, batch_size, eq_dataset=eq_dev, noise_dataset=no_dev, seed=43, drop_last=False
+        )
+        if len(dev_ds)
+        else None
+    )
+    return train_gen, dev_gen
+
+
+def train(config: Dict, experiment_name: str = "exp", test_run: bool = False) -> Dict:
+    """The `train.py --config` entry point (reference `train.py:63-222`)."""
+    model_args = dict(config.get("model_args", {}))
+    model_name = config["model"].lower()
+    arch_args = {k: v for k, v in model_args.items() if k not in _LIT_ONLY_ARGS}
+    model = _MODELS[model_name](**arch_args)
+
+    params = None
+    if config.get("pretrained"):
+        from volpick_tpu.models import from_pretrained
+
+        _, params = from_pretrained(model_name, config["pretrained"])
+        logger.info(f"warm start from pretrained {config['pretrained']}")
+
+    trainer = Trainer(
+        model,
+        params=params,
+        lr=float(model_args.get("lr", 0.01)),
+        loss_weights=tuple(model_args.get("loss_weights", (0.05, 0.40, 0.55))),
+        ema=bool(config.get("ema", False)),
+        swa=config.get("swa") or None,
+        warmup_steps=int(config.get("warmup_steps", 500)),
+        lr_scheduler=model_args.get("lr_scheduler", "ReduceLROnPlateau"),
+        lr_scheduler_args=model_args.get("lr_scheduler_args"),
+        monitor="train_loss" if config.get("whole_dataset") else "val_loss",
+    )
+    train_gen, dev_gen = prepare_data(config, model, test_run)
+    if config.get("whole_dataset"):
+        dev_gen = None
+    return trainer.fit(
+        train_gen,
+        dev_gen,
+        max_epochs=int(config.get("trainer_args", {}).get("max_epochs", 100)),
+        save_dir=config.get("save_dir", "weights"),
+        experiment=experiment_name,
+        early_stop=bool(config.get("early_stop", False)),
+        checkpoint_every_n_steps=5 if config.get("whole_dataset") else None,
+        hparams=config,
+    )
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Train a picking model from a JSON config")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--test_run", action="store_true")
+    ap.add_argument("--whole_dataset", action="store_true")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--fraction", type=float, default=None)
+    args = ap.parse_args(argv)
+    with open(args.config) as f:
+        config = json.load(f)
+    if args.whole_dataset:
+        config["whole_dataset"] = True
+    if args.lr is not None:
+        config.setdefault("model_args", {})["lr"] = args.lr
+    if args.fraction is not None:
+        config["training_fraction"] = args.fraction
+    name = Path(args.config).stem
+    if args.lr is not None:
+        name += f"_lr{args.lr}"
+    if args.fraction is not None:
+        name += f"_frac{args.fraction}"
+    return train(config, experiment_name=name, test_run=args.test_run)
+
+
+if __name__ == "__main__":
+    main()
