@@ -1,0 +1,268 @@
+"""Waveform → benchmark-dataset conversion (reference `volpick/data/convert.py`).
+
+``convert_catalog_to_dataset`` reproduces the reference converter's behavior:
+resample to 100 Hz, demean, optional edge trim / long-trace trim around the
+picks, spike flagging (optionally skipping), arrival-time → sample indices,
+3-component SNR (95th-percentile, 5 s windows), per-trace frequency index
+(1 s before / 6 s after the reference pick), random train/dev/test split, and
+a final per-source FI pass — written as a SeisBench-format chunk.
+
+Waveforms are supplied by a ``loader(trace_name) -> Stream`` callable: obspy
+mseed reading when obspy is installed, our native miniSEED reader, or any
+in-memory source (tests).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from volpick_tpu import logger
+from volpick_tpu.core.stream import Stream, UTC
+from volpick_tpu.data.writer import WaveformDataWriter
+
+
+def stream_to_array(stream: Stream, component_order: str = "ZNE"):
+    """(starttime, data (C, W), completeness) with gap zero-fill.
+
+    Component matching uses the relaxed `*{c}` channel pattern (the
+    reference's deliberate deviation from seisbench, `convert.py:24-70`)."""
+    if not len(stream):
+        raise ValueError("empty stream")
+    starttime = min(tr.stats.starttime.timestamp for tr in stream)
+    endtime = max(tr.stats.endtime.timestamp for tr in stream)
+    sr = stream[0].stats.sampling_rate
+    samples = int((endtime - starttime) * sr) + 1
+    data = np.zeros((len(component_order), samples), dtype=np.float64)
+    completeness = 0.0
+    for ci, c in enumerate(component_order):
+        c_stream = stream.select(channel=f"*{c}")
+        traces = sorted(c_stream, key=lambda t: t.stats.npts)
+        c_complete = 0.0
+        for tr in traces:
+            start = int((tr.stats.starttime.timestamp - starttime) * sr)
+            n = min(len(tr.data), samples - start)
+            if n > 0:
+                data[ci, start : start + n] = tr.data[:n]
+                c_complete += n
+        completeness += min(1.0, c_complete / samples)
+    data -= data.mean(axis=1, keepdims=True)
+    return UTC(starttime), data, completeness / len(component_order)
+
+
+def trace_has_spikes(data: np.ndarray, factor: float = 25.0, quantile: float = 0.975) -> bool:
+    """Spike heuristic: any sample exceeding factor × the per-channel
+    |amplitude| quantile (semantics of seisbench.util.trace_ops used by the
+    reference's converter, `convert.py:206-208`)."""
+    q = np.quantile(np.abs(data), quantile, axis=-1, keepdims=True)
+    return bool(np.any(np.abs(data) > factor * q))
+
+
+def convert_catalog_to_dataset(
+    catalog_table: pd.DataFrame,
+    loader: Callable[[str], Stream],
+    dest_dir: Union[str, Path],
+    split_prob: Sequence[float] = (0.75, 0.1, 0.15),
+    chunk: str = "",
+    sampling_rate: float = 100.0,
+    check_long_traces: bool = False,
+    check_long_traces_limit: float = 150.0,
+    skip_spikes: bool = False,
+    cut_bounds: Optional[float] = None,
+    n_limit: Optional[int] = None,
+    seed: Optional[int] = None,
+) -> Path:
+    """Catalog rows + waveform loader → `metadata{chunk}.csv` + `waveforms{chunk}.hdf5`."""
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    if seed is not None:
+        np.random.seed(seed)
+    metadata_path = dest_dir / f"metadata{chunk}.csv"
+    waveforms_path = dest_dir / f"waveforms{chunk}.hdf5"
+
+    from volpick_tpu.ops.features import frequency_index as fi_device
+    import jax.numpy as jnp
+
+    event_cols = [
+        "source_id",
+        "source_origin_time",
+        "source_latitude_deg",
+        "source_longitude_deg",
+        "source_depth_km",
+        "source_magnitude",
+        "source_magnitude_type",
+        "source_type",
+    ]
+    trace_cols = [
+        "station_network_code",
+        "station_code",
+        "station_location_code",
+        "trace_channel",
+        "station_latitude_deg",
+        "station_longitude_deg",
+        "station_elevation_m",
+        "station_epicentral_distance_m",
+        "path_azimuth_deg",
+        "path_back_azimuth_deg",
+        "trace_p_arrival_time",
+        "trace_s_arrival_time",
+        "trace_p_max_weight",
+        "trace_s_max_weight",
+        "trace_p_first_motion",
+        "trace_name",
+    ]
+
+    n_written = 0
+    with WaveformDataWriter(metadata_path, waveforms_path) as writer:
+        writer.data_format = {
+            "dimension_order": "CW",
+            "component_order": "ZNE",
+            "unit": "counts",
+            "instrument_response": "not restituted",
+        }
+        for row in catalog_table.itertuples():
+            params = {}
+            for col in event_cols + trace_cols:
+                params[col] = getattr(row, col, None)
+            try:
+                stream = loader(params["trace_name"])
+            except Exception as e:
+                logger.warning(f"loader failed for {params['trace_name']}: {e}")
+                continue
+            if not len(stream):
+                continue
+            for tr in stream:
+                if abs(tr.stats.sampling_rate - sampling_rate) > 1e-6:
+                    tr.resample(sampling_rate)
+                tr.detrend_demean()
+            params["trace_sampling_rate_hz"] = sampling_rate
+
+            t0 = min(tr.stats.starttime for tr in stream)
+            t1 = max(tr.stats.endtime for tr in stream)
+            if isinstance(cut_bounds, (int, float)) and (t1 - t0) > (3 * cut_bounds + 60):
+                stream = Stream([tr.slice(t0 + cut_bounds, t1 - cut_bounds) for tr in stream])
+                t0 = min(tr.stats.starttime for tr in stream)
+                t1 = max(tr.stats.endtime for tr in stream)
+            if check_long_traces and (t1 - t0) > check_long_traces_limit:
+                arr_times = [
+                    UTC(params[k])
+                    for k in ("trace_p_arrival_time", "trace_s_arrival_time")
+                    if params[k] is not None and not pd.isna(params[k])
+                ]
+                if arr_times:
+                    lo = max(min(arr_times) - check_long_traces_limit / 2, t0)
+                    hi = min(max(arr_times) + check_long_traces_limit / 2, t1)
+                    stream = Stream([tr.slice(lo, hi) for tr in stream])
+
+            actual_t0, data, completeness = stream_to_array(stream, "ZNE")
+            params["trace_completeness"] = completeness
+            params["trace_has_spikes"] = trace_has_spikes(data)
+            if skip_spikes and params["trace_has_spikes"]:
+                continue
+            params["trace_start_time"] = actual_t0.isoformat()
+            for phase in ("p", "s"):
+                at = params.get(f"trace_{phase}_arrival_time")
+                if at is not None and not pd.isna(at):
+                    sample = (UTC(at) - actual_t0) * sampling_rate
+                    params[f"trace_{phase}_arrival_sample"] = int(sample)
+                    params[f"trace_{phase}_status"] = "None"
+                else:
+                    params[f"trace_{phase}_arrival_sample"] = None
+                    params[f"trace_{phase}_status"] = None
+
+            from volpick_tpu.ops.features import snr_db
+
+            snrs, avg = snr_db(
+                jnp.asarray(data[None]),
+                jnp.asarray([float(params["trace_p_arrival_sample"]) if params["trace_p_arrival_sample"] is not None else np.nan]),
+                jnp.asarray([float(params["trace_s_arrival_sample"]) if params["trace_s_arrival_sample"] is not None else np.nan]),
+                winlen=int(5 * sampling_rate),
+            )
+            params["trace_snr_db"] = list(np.asarray(snrs)[0])
+            params["trace_mean_snr_db"] = float(np.asarray(avg)[0])
+
+            # frequency index around the reference pick (1 s before, 6 s after)
+            ref = params["trace_p_arrival_sample"] or params["trace_s_arrival_sample"]
+            fi = np.nan
+            if ref:
+                ref = int(ref)
+                lo = max(ref - int(1 * sampling_rate), 0)
+                hi = min(ref + int(6 * sampling_rate), data.shape[-1])
+                fis = []
+                for comp in data:
+                    if np.sum(np.abs(np.diff(comp))) > 1e-9:
+                        v = float(fi_device(jnp.asarray(comp[lo:hi]), 1.0 / sampling_rate))
+                        if not np.isnan(v):
+                            fis.append(v)
+                if fis:
+                    fi = float(np.mean(fis))
+            params["trace_frequency_index"] = fi
+            params["split"] = np.random.choice(["train", "dev", "test"], p=list(split_prob))
+            writer.add_trace(params, data.astype(np.float32))
+            n_written += 1
+            if n_limit is not None and n_written >= n_limit:
+                break
+
+    # per-source frequency index pass (reference `convert.py:281-298`)
+    md = pd.read_csv(metadata_path)
+    if len(md) and np.all(
+        pd.notna(md.get("trace_p_arrival_sample")) | pd.notna(md.get("trace_s_arrival_sample"))
+    ):
+        fi_by_source = md.groupby("source_id")["trace_frequency_index"].mean()
+        md["source_frequency_index"] = md["source_id"].map(fi_by_source)
+    else:
+        md["source_frequency_index"] = np.nan
+    md.to_csv(metadata_path, index=False)
+    return dest_dir
+
+
+def extract_noise_from_dataset(
+    source_dataset,
+    dest_dir: Union[str, Path],
+    n_traces: int = 1000,
+    chunk: str = "_noise",
+    split_prob: Sequence[float] = (0.75, 0.1, 0.15),
+    seed: int = 42,
+) -> Path:
+    """Pull noise traces from another dataset into a local chunk (the
+    STEAD-noise extraction path, reference `convert.py:461-547`)."""
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    md = source_dataset.metadata
+    from volpick_tpu.pipeline.generator import _onset_arrays
+
+    p, s = _onset_arrays(md)
+    noise_idx = np.where(np.isnan(p) & np.isnan(s))[0]
+    if "source_type" in md.columns:
+        noise_idx = np.union1d(
+            noise_idx, np.where(md["source_type"].astype(str).str.lower() == "noise")[0]
+        )
+    rng.shuffle(noise_idx)
+    noise_idx = noise_idx[:n_traces]
+    with WaveformDataWriter(
+        dest_dir / f"metadata{chunk}.csv", dest_dir / f"waveforms{chunk}.hdf5"
+    ) as writer:
+        writer.data_format = {"dimension_order": "CW", "component_order": "ZNE"}
+        for i in noise_idx:
+            data, meta = source_dataset.get_sample(int(i))
+            row = {
+                "source_type": "noise",
+                "trace_name": f"noise_{meta.get('trace_name', i)}",
+                "trace_sampling_rate_hz": source_dataset.sampling_rate,
+                "station_network_code": meta.get("station_network_code"),
+                "station_code": meta.get("station_code"),
+                "trace_p_arrival_sample": None,
+                "trace_s_arrival_sample": None,
+                "split": np.random.RandomState(seed + int(i)).choice(
+                    ["train", "dev", "test"], p=list(split_prob)
+                ),
+            }
+            writer.add_trace(row, data)
+    from volpick_tpu.data.assemble import generate_chunk_file
+
+    generate_chunk_file(dest_dir)
+    return dest_dir
