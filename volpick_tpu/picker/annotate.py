@@ -35,7 +35,11 @@ import numpy as np
 from volpick_tpu.core.picks import ClassifyOutput, Detection, Pick, PickList
 from volpick_tpu.core.stream import Stream, Trace, UTC, group_streams_by_instrument
 from volpick_tpu.ops.signal import demean, detrend_linear, normalize_amplitude
-from volpick_tpu.ops.triggers import picks_from_prob_numpy, trigger_onset_numpy
+from volpick_tpu.ops.triggers import (
+    extract_triggers_batched,
+    picks_from_prob_numpy,
+    trigger_onset_numpy,
+)
 from volpick_tpu.ops.windows import frame_windows, overlap_stack, window_starts
 
 
@@ -96,6 +100,98 @@ class WaveformPicker:
 
             self._jitted[chunk] = run
         return self._jitted[chunk]
+
+    # ------------------------------------------------------- fused device path
+    def _fused_classify_fn(
+        self,
+        n_stations: int,
+        n_win: int,
+        total: int,
+        blinding: Tuple[int, int],
+        stacking: str,
+        thresholds: Tuple[float, ...],
+        max_picks: int,
+        chunk: int,
+    ):
+        """One jitted program: frame → condition → forward (chunked via
+        lax.map to bound VMEM) → overlap-average stack with blinding →
+        two-threshold trigger extraction. Only (max_picks)-sized pick buffers
+        leave the device — the speed-of-light path for continuous picking."""
+        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk)
+        cache = self._jitted.setdefault("fused", {})
+        if key in cache:
+            return cache[key]
+        window = self.in_samples
+        channels = self._prob_channels()
+
+        @jax.jit
+        def run(params, data, starts):
+            s, c = data.shape[0], data.shape[1]
+            frames = frame_windows(data, starts, window)  # (N, S, C, window)
+            frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
+            n_frames = s * n_win
+            pad = (-n_frames) % chunk
+            frames = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
+            frames = frames.reshape(-1, chunk, c, window)
+
+            def fwd(fr):
+                fr = self._condition(fr)
+                if self.model.name == "EQTransformer":
+                    det, p, ss = self.model.apply(params, fr)
+                    return jnp.stack([det, p, ss], axis=1)
+                return self.model.apply(params, fr)
+
+            preds = jax.lax.map(fwd, frames)
+            k = preds.shape[2]
+            preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
+            curves = jax.vmap(
+                lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
+            )(preds)  # (S, K, total)
+            out = {}
+            for label, thr in zip(channels, thresholds):
+                if label == "N":  # noise channel is never triggered on
+                    continue
+                ki = channels.index(label)
+                out[label] = extract_triggers_batched(
+                    curves[:, ki], thr, max_picks=max_picks
+                )
+            return out
+
+        cache[key] = run
+        return run
+
+    def classify_arrays(
+        self,
+        data: np.ndarray,
+        thresholds: Dict[str, float],
+        overlap: Optional[int] = None,
+        blinding: Tuple[int, int] = (0, 0),
+        stacking: str = "avg",
+        batch_size: int = 256,
+        max_picks: Optional[int] = None,
+    ) -> Dict[str, tuple]:
+        """Fused device classify on a station batch (S, C, W_total).
+
+        Returns {label: (peak_idx, peak_val, valid, on_idx, off_idx)} numpy
+        arrays, each (S, max_picks). Used by classify(); also the public
+        array-level API for production serving loops."""
+        s, c, total = data.shape
+        window = self.in_samples
+        if overlap is None:
+            overlap = window // 2
+        padded_total = max(total, window)
+        if padded_total > total:
+            data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
+        starts = window_starts(padded_total, window, overlap)
+        if max_picks is None:
+            max_picks = min(max(32, padded_total // window * 4), 4096)
+        channels = self._prob_channels()
+        thr = tuple(thresholds[lab] for lab in channels)
+        run = self._fused_classify_fn(
+            s, len(starts), padded_total, tuple(blinding), stacking, thr, max_picks, batch_size
+        )
+        out = run(self.params, jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts))
+        return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
 
     # ------------------------------------------------------------ array level
     def annotate_array(
@@ -251,44 +347,51 @@ class WaveformPicker:
         groups = self._group_arrays(stream)
         if not groups:
             return ClassifyOutput(self.model.name, picks, detections)
-        channels = self._prob_channels()
+        thresholds = {
+            "P": P_threshold,
+            "S": S_threshold,
+            "Detection": detection_threshold,
+            "N": 2.0,  # noise channel never triggers
+        }
         by_len: Dict[int, List] = {}
         for g in groups:
             by_len.setdefault(g[1].shape[-1], []).append(g)
         for total, gs in by_len.items():
             data = np.stack([g[1] for g in gs])
-            curves = self.annotate_array(
-                data, overlap=overlap, blinding=blinding, stacking=stacking, batch_size=batch_size
+            results = self.classify_arrays(
+                data,
+                thresholds,
+                overlap=overlap,
+                blinding=blinding,
+                stacking=stacking,
+                batch_size=batch_size,
             )
-            for (key, _, t0, sr), c in zip(gs, curves):
+            for gi, (key, _, t0, sr) in enumerate(gs):
                 trace_id = key.rsplit(".", 1)[0]  # net.sta.loc
-                for ki, label in enumerate(channels):
-                    if label in ("P", "S"):
-                        thr = P_threshold if label == "P" else S_threshold
-                        for on, off in trigger_onset_numpy(c[ki], thr, thr / 2):
-                            seg = c[ki][on:off] if off > on else c[ki][on : on + 1]
-                            pk = on + int(np.argmax(seg))
-                            picks.append(
-                                Pick(
-                                    trace_id=trace_id,
-                                    start_time=t0 + on / sr,
-                                    end_time=t0 + off / sr,
-                                    peak_time=t0 + pk / sr,
-                                    peak_value=float(c[ki][pk]),
-                                    phase=label,
-                                )
-                            )
-                    elif label == "Detection":
-                        for on, off in trigger_onset_numpy(
-                            c[ki], detection_threshold, detection_threshold / 2
-                        ):
-                            seg = c[ki][on : max(off, on + 1)]
+                for label, (pk, val, valid, on, off) in results.items():
+                    if label == "N":
+                        continue
+                    for j in np.where(valid[gi])[0]:
+                        if on[gi, j] >= total:  # pick in the zero-padded tail
+                            continue
+                        if label == "Detection":
                             detections.append(
                                 Detection(
                                     trace_id=trace_id,
-                                    start_time=t0 + on / sr,
-                                    end_time=t0 + off / sr,
-                                    peak_value=float(np.max(seg)),
+                                    start_time=t0 + on[gi, j] / sr,
+                                    end_time=t0 + off[gi, j] / sr,
+                                    peak_value=float(val[gi, j]),
+                                )
+                            )
+                        else:
+                            picks.append(
+                                Pick(
+                                    trace_id=trace_id,
+                                    start_time=t0 + on[gi, j] / sr,
+                                    end_time=t0 + off[gi, j] / sr,
+                                    peak_time=t0 + pk[gi, j] / sr,
+                                    peak_value=float(val[gi, j]),
+                                    phase=label,
                                 )
                             )
         picks.sort()
