@@ -137,3 +137,22 @@ class TestEndToEnd:
             assert t23["test_P_mae_s"] < 5.0
         df = collect_task123_results(tmp_path, ["eval"])
         assert len(df) == 1
+
+
+@needs_weights
+class TestTNR:
+    def test_true_negative_rate(self, ds, tmp_path):
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.eval.task0 import eval_task0_true_negative_rate
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        generate_task0(ds, tmp_path / "t", noise_before_events=True)
+        res = eval_task0_true_negative_rate(
+            model, params, ds, tmp_path / "t", tmp_path / "o",
+            prob_thresholds=(0.3, 0.6), batch_size=16,
+        )
+        import pandas as pd
+
+        df = pd.read_csv(tmp_path / "o" / "test_tnr.csv")
+        assert {"p_TN", "p_FP", "p_true_negative_rate"} <= set(df.columns)
+        assert (df["p_true_negative_rate"].dropna() >= 0).all()

@@ -192,3 +192,27 @@ class TestGenerator:
         b0 = batches[0]
         assert b0["X"].shape == (8, 3, 3001)
         assert np.isfinite(np.asarray(b0["X"])).all()
+
+
+class TestRotation:
+    def test_rotation_preserves_content(self, rng):
+        import jax
+        from volpick_tpu.pipeline.augmentations import AugmentConfig, rotation_block
+
+        cfg = AugmentConfig(window=3001, rotate_array=True, rotate_prob=1.0)
+        x = rng.normal(size=(4, 3, 3001)).astype(np.float32)
+        y = rng.random((4, 3, 3001)).astype(np.float32)
+        out = rotation_block(jax.random.PRNGKey(0), {"X": jnp.asarray(x), "y": jnp.asarray(y)}, cfg)
+        xr = np.asarray(out["X"])
+        # rotation is a permutation: multiset of values preserved per channel
+        np.testing.assert_allclose(np.sort(xr[0, 0]), np.sort(x[0, 0]), atol=1e-6)
+        assert not np.allclose(xr, x)  # actually rotated
+
+    def test_rotation_in_program(self, rng):
+        import jax
+        from volpick_tpu.pipeline.augmentations import AugmentConfig, augment_train_batch
+
+        cfg = AugmentConfig(window=3001, stack=False, rotate_array=True)
+        prim = raw_batch(rng, b=4)
+        out = augment_train_batch(jax.random.PRNGKey(1), prim, None, None, None, None, cfg)
+        assert np.isfinite(np.asarray(out["X"])).all()

@@ -1,0 +1,159 @@
+"""Tests for classical pickers, model I/O (export/load), plotting, QC screen."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from volpick_tpu.classical import aic_onset, ar_aic_pick, baer_kradolfer_pick, tune_picker
+
+WEIGHTS = os.environ.get("VOLPICK_TPU_MODELS", "/root/reference/Final_models/volpick")
+needs_weights = pytest.mark.skipif(
+    not os.path.exists(os.path.join(WEIGHTS, "phasenet", "volpick.pt.v1")),
+    reason="published volpick weights not available",
+)
+
+
+def synth_onset_trace(rng, n=6000, onset=3000, sr=100.0, snr=8.0):
+    t = np.arange(n) / sr
+    x = rng.normal(size=n)
+    env = np.where(np.arange(n) >= onset, np.exp(-(np.arange(n) - onset) / (2 * sr)), 0.0)
+    x = x + np.sin(2 * np.pi * 8 * t + rng.uniform(0, 6)) * env * snr
+    return x
+
+
+class TestAIC:
+    def test_aic_onset_clean(self, rng):
+        x = np.concatenate([rng.normal(size=500) * 0.1, rng.normal(size=500) * 5.0])
+        k = aic_onset(x)
+        assert abs(k - 500) < 30
+
+    def test_ar_aic_pick(self, rng):
+        z = synth_onset_trace(rng, onset=3000)
+        n = synth_onset_trace(rng, onset=3400)
+        e = synth_onset_trace(rng, onset=3400)
+        p, s = ar_aic_pick(z, n, e, sampling_rate=100.0)
+        assert p is not None and abs(p - 3000) < 50
+        assert s is not None and abs(s - 3400) < 100
+
+    def test_ar_aic_noise_only(self, rng):
+        z = rng.normal(size=6000)
+        p, s = ar_aic_pick(z, sampling_rate=100.0)
+        # pure white noise: STA/LTA may fire weakly, but commonly None
+        assert p is None or 0 <= p < 6000
+
+
+class TestBaer:
+    def test_pick_near_onset(self, rng):
+        hits = 0
+        for seed in range(5):
+            x = synth_onset_trace(np.random.default_rng(seed), onset=3000, snr=10)
+            pick, qual = baer_kradolfer_pick(x, 100.0)
+            if pick is not None and abs(pick - 3000) < 60:
+                hits += 1
+        assert hits >= 3, f"only {hits}/5 within tolerance"
+
+    def test_noise_no_pick_mostly(self, rng):
+        picks = []
+        for seed in range(5):
+            x = np.random.default_rng(100 + seed).normal(size=6000)
+            pick, _ = baer_kradolfer_pick(x, 100.0)
+            picks.append(pick)
+        assert sum(p is None for p in picks) >= 3
+
+    def test_tuner(self, rng):
+        traces = [synth_onset_trace(np.random.default_rng(s), onset=3000, snr=10) for s in range(4)]
+        best = tune_picker(
+            baer_kradolfer_pick,
+            {"thr1": (5.0, 20.0), "tupevent": (0.3, 1.0)},
+            traces,
+            [3000] * 4,
+            n_trials=8,
+        )
+        assert best["params"] is not None
+        assert 0 <= best["f1"] <= 1
+
+
+class TestModelIO:
+    def test_export_and_reload_native(self, tmp_path):
+        from volpick_tpu.models import PhaseNet, from_pretrained
+        from volpick_tpu.train.model_io import export_pretrained
+
+        model = PhaseNet()
+        params = model.init(jax.random.PRNGKey(3))
+        export_pretrained(model, params, tmp_path, name="mytest",
+                          default_args={"P_threshold": 0.5, "S_threshold": 0.4})
+        m2, p2 = from_pretrained("phasenet", "mytest", search_paths=[str(tmp_path)])
+        assert m2.default_args["P_threshold"] == 0.5
+        import jax.numpy as jnp
+
+        x = jnp.ones((1, 3, 3001))
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, x)), np.asarray(m2.apply(p2, x)), atol=1e-6
+        )
+
+    def test_load_best_model_from_experiment(self, tmp_path):
+        from volpick_tpu.data.synthetic import make_synthetic_dataset
+        from volpick_tpu.train.trainer import train
+        from volpick_tpu.train.model_io import load_best_model
+
+        make_synthetic_dataset(tmp_path / "ds", n_events=12, n_noise=4, n_samples=3500)
+        cfg = {
+            "model": "PhaseNet",
+            "model_args": {"lr": 1e-3},
+            "data": str(tmp_path / "ds"),
+            "batch_size": 8,
+            "trainer_args": {"max_epochs": 1},
+            "save_dir": str(tmp_path / "w"),
+        }
+        train(cfg, experiment_name="io_test")
+        model, params = load_best_model(tmp_path / "w" / "io_test", "phasenet")
+        import jax.numpy as jnp
+
+        y = model.apply(params, jnp.zeros((1, 3, 3001)))
+        assert y.shape == (1, 3, 3001)
+
+
+class TestPlotting:
+    def test_loss_curves(self, tmp_path):
+        import pandas as pd
+
+        pd.DataFrame(
+            {"epoch": [0, 1], "train_loss": [1.0, 0.8], "val_loss": [1.1, 0.9], "lr": [1e-3, 1e-3]}
+        ).to_csv(tmp_path / "metrics.csv", index=False)
+        from volpick_tpu.utils.plotting import plot_loss_curves
+
+        fig = plot_loss_curves(tmp_path, save_path=tmp_path / "loss.png")
+        assert (tmp_path / "loss.png").exists()
+
+    def test_plot_waveform(self, tmp_path, rng):
+        from volpick_tpu.utils.plotting import plot_waveform
+
+        data = rng.normal(size=(3, 2000))
+        plot_waveform(data, 100.0, p_sample=800, s_sample=1200,
+                      save_path=tmp_path / "w.png")
+        assert (tmp_path / "w.png").exists()
+
+
+@needs_weights
+class TestQC:
+    def test_screen_flags_events_not_noise(self, rng, tmp_path):
+        from volpick_tpu.data.synthetic import make_synthetic_dataset
+        from volpick_tpu.data import WaveformDataset
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+        from volpick_tpu.utils.qc import screen_dataset_with_models
+
+        make_synthetic_dataset(tmp_path / "ds", n_events=6, n_noise=6, n_samples=4000, seed=21)
+        ds = WaveformDataset(tmp_path / "ds")
+        picker = WaveformPicker(*from_pretrained("phasenet", search_paths=[WEIGHTS]))
+        flags = screen_dataset_with_models(ds, [picker], threshold=0.5, out_dir=tmp_path / "qc")
+        from volpick_tpu.pipeline.generator import _onset_arrays
+
+        p, s = _onset_arrays(ds.metadata)
+        is_event = ~np.isnan(p)
+        # most events should be flagged, most noise should not
+        assert flags[is_event].mean() > 0.5
+        assert flags[~is_event].mean() < 0.5
+        assert (tmp_path / "qc" / "qc_flags.csv").exists()

@@ -304,6 +304,50 @@ def eval_task0(
     return results
 
 
+def eval_task0_true_negative_rate(
+    model,
+    params,
+    dataset,
+    targets_path,
+    output_dir,
+    sets: Sequence[str] = ("dev", "test"),
+    prob_thresholds: Sequence[float] = tuple(np.arange(0.1, 1.0, 0.1)),
+    batch_size: int = 256,
+    num_test_run: Optional[int] = None,
+):
+    """Per-threshold true-negative rate on noise windows: TN = windows with
+    neither a true nor a predicted pick, FP = pickless windows with a
+    prediction (reference `eval_taks0.py:828-980`). Writes {set}_tnr.csv."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    task_targets_all = pd.read_csv(Path(targets_path) / "task0.csv")
+    results = {}
+    for set_name in sets:
+        targets = task_targets_all[task_targets_all["trace_split"] == set_name].reset_index(drop=True)
+        if num_test_run:
+            targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
+        if not len(targets):
+            continue
+        runner = _SteeredRunner(model, params, batch_size)
+        curves = runner.prob_curves(dataset, targets)
+        p_gt, s_gt = get_ground_truth(dataset, targets)
+        rows = []
+        for thr in prob_thresholds:
+            p_pred, s_pred = evaluate(model, params, dataset, targets, thr, curves=curves)
+            row = {"prob_thre": thr}
+            for phase, gt, pred in (("p", p_gt, p_pred), ("s", s_gt, s_pred)):
+                tn = sum(1 for t, p in zip(gt, pred) if len(t) == 0 and len(p) == 0)
+                fp = sum(1 for t, p in zip(gt, pred) if len(t) == 0 and len(p) > 0)
+                row[f"{phase}_TN"] = tn
+                row[f"{phase}_FP"] = fp
+                row[f"{phase}_true_negative_rate"] = tn / (tn + fp) if tn + fp else np.nan
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        df.to_csv(output_dir / f"{set_name}_tnr.csv", index=False)
+        results[set_name] = df
+    return results
+
+
 def opt_prob_metrics(output_dir, phases=("p", "s")) -> Dict:
     """Dev-F1-optimal threshold per phase applied to the test sweep
     (reference `eval_taks0.py:1139-1294`)."""

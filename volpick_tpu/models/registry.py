@@ -30,20 +30,22 @@ _DEFAULT_SEARCH = [
 ]
 
 
-def _find(arch: str, name: str, search_paths: Sequence[str]) -> Tuple[str, str]:
+def _find(arch: str, name: str, search_paths: Sequence[str]) -> Tuple[str, str, str]:
+    """Returns (json_path, weights_path, kind) with kind 'torch' (.pt.v1) or
+    'npz' (native .npz.v1 written by train.model_io.export_pretrained)."""
     for base in list(search_paths) + _DEFAULT_SEARCH:
         if not base:
             continue
-        d = os.path.join(base, arch)
-        js = os.path.join(d, f"{name}.json.v1")
-        pt = os.path.join(d, f"{name}.pt.v1")
-        if os.path.exists(js) and os.path.exists(pt):
-            return js, pt
-        # also accept flat layout <base>/<name>.{json,pt}.v1
-        js2 = os.path.join(base, f"{name}.json.v1")
-        pt2 = os.path.join(base, f"{name}.pt.v1")
-        if os.path.exists(js2) and os.path.exists(pt2):
-            return js2, pt2
+        for d in (os.path.join(base, arch), base):
+            js = os.path.join(d, f"{name}.json.v1")
+            if not os.path.exists(js):
+                continue
+            pt = os.path.join(d, f"{name}.pt.v1")
+            if os.path.exists(pt):
+                return js, pt, "torch"
+            npz = os.path.join(d, f"{name}.npz.v1")
+            if os.path.exists(npz):
+                return js, npz, "npz"
     raise FileNotFoundError(
         f"pretrained weights {name!r} for {arch!r} not found in "
         f"{list(search_paths) + _DEFAULT_SEARCH}; set VOLPICK_TPU_MODELS"
@@ -63,16 +65,21 @@ def from_pretrained(
     arch = arch.lower()
     if arch not in _ARCHS:
         raise ValueError(f"unknown architecture {arch!r}; available: {sorted(_ARCHS)}")
-    js_path, pt_path = _find(arch, name, search_paths)
+    js_path, weights_path, kind = _find(arch, name, search_paths)
+    if kind == "npz":
+        from volpick_tpu.train.model_io import load_pretrained_npz
+
+        model, params = load_pretrained_npz(js_path, weights_path)
+        return model, jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype), params)
     with open(js_path) as f:
         meta = json.load(f)
     model_args = dict(meta.get("model_args", {}))
     model_args.pop("sampling_rate", None)
     model = _ARCHS[arch](default_args=dict(meta.get("default_args", {})), **model_args)
     if arch == "phasenet":
-        params = import_phasenet(pt_path)
+        params = import_phasenet(weights_path)
     else:
-        params = import_eqtransformer(pt_path)
+        params = import_eqtransformer(weights_path)
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype), params)
     return model, params
 

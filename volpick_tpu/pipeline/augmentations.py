@@ -70,6 +70,8 @@ class AugmentConfig:
     p_two_events: float = 0.3
     gaussian_scale: Tuple[float, float] = (0.0, 0.15)
     gap_prob: float = 0.2
+    rotate_array: bool = False  # RandomArrayRotation gate (`models.py:330-343`)
+    rotate_prob: float = 0.99
 
     def for_secondary(self) -> "AugmentConfig":
         """Block1 config of the stacked-event sub-generator: always
@@ -326,6 +328,29 @@ def _superimpose_pass_dynamic(key, prim, sec, fee, active, cfg, margin):
     return out, fee_new
 
 
+# ------------------------------------------------------------- rotation block
+def rotation_block(key: jax.Array, out: Dict[str, jnp.ndarray], cfg: AugmentConfig) -> Dict[str, jnp.ndarray]:
+    """RandomArrayRotation: circular roll of X, y (and detections) along time
+    by a per-sample random shift (OneOf gate p=rotate_prob)."""
+    b = out["X"].shape[0]
+    n = cfg.window
+    k1, k2 = jax.random.split(key)
+    do = jax.random.bernoulli(k1, cfg.rotate_prob, (b,))
+    shift = jax.random.randint(k2, (b,), 0, n)
+    idx = (jnp.arange(n)[None, :] - shift[:, None]) % n  # (B, W)
+
+    def roll(a):
+        g = jnp.take_along_axis(a, jnp.broadcast_to(idx[:, None, :], a.shape), axis=-1)
+        return jnp.where(do[:, None, None], g, a)
+
+    res = dict(out)
+    res["X"] = roll(out["X"])
+    res["y"] = roll(out["y"])
+    if cfg.detection and "detections" in out:
+        res["detections"] = roll(out["detections"])
+    return res
+
+
 # ------------------------------------------------------------------ gap block
 def gap_block(key: jax.Array, out: Dict[str, jnp.ndarray], cfg: AugmentConfig) -> Dict[str, jnp.ndarray]:
     b = out["X"].shape[0]
@@ -376,6 +401,8 @@ def augment_train_batch(
         noi2 = window_and_label(ks[4], noise2_raw["x"], noise2_raw["len"], noise2_raw["p"], noise2_raw["s"], cfg)
         prim = stack_block(ks[5], prim, sec, sec2, noi["X"], noi2["X"], cfg)
 
+    if cfg.rotate_array:
+        prim = rotation_block(ks[7], prim, cfg)
     prim = gap_block(ks[6], prim, cfg)
 
     # final re-normalize (reference `models.py:408-412`)
