@@ -267,3 +267,36 @@ class TestFeatures:
         x = np.ones((1, 3, 100))
         snrs, mean = snr_db(jnp.asarray(x), jnp.asarray([np.nan]), jnp.asarray([np.nan]))
         assert np.all(np.isnan(np.asarray(snrs)))
+
+
+class TestUniformStacking:
+    def test_matches_scatter_form(self, rng):
+        from volpick_tpu.ops.windows import overlap_stack_uniform
+
+        window, stride, n = 6000, 500, 9
+        total = (n - 1) * stride + window
+        preds = rng.random((n, 3, window)).astype(np.float32)
+        starts = np.arange(n) * stride
+        ref = np.asarray(
+            overlap_stack(jnp.asarray(preds), jnp.asarray(starts), total, blinding=(500, 500))
+        )
+        got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride, blinding=(500, 500)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_max_stacking(self, rng):
+        from volpick_tpu.ops.windows import overlap_stack_uniform
+
+        window, stride, n = 8, 4, 3
+        total = (n - 1) * stride + window
+        preds = rng.random((n, 1, window)).astype(np.float32)
+        starts = np.arange(n) * stride
+        ref = np.asarray(overlap_stack(jnp.asarray(preds), jnp.asarray(starts), total, stacking="max"))
+        got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride, stacking="max"))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_rejects_non_divisible(self, rng):
+        from volpick_tpu.ops.windows import overlap_stack_uniform
+
+        with pytest.raises(ValueError):
+            overlap_stack_uniform(jnp.zeros((2, 1, 10)), 3)

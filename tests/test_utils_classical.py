@@ -157,3 +157,62 @@ class TestQC:
         assert flags[is_event].mean() > 0.5
         assert flags[~is_event].mean() < 0.5
         assert (tmp_path / "qc" / "qc_flags.csv").exists()
+
+
+class TestAnalysisProfiling:
+    def test_recall_by_bins(self):
+        import pandas as pd
+        from volpick_tpu.eval.analysis import recall_by_bins
+
+        targets = pd.DataFrame({"snr": [2.0, 7.0, 12.0, 30.0]})
+        truth = [np.array([100.0])] * 4
+        picks = [np.array([105.0]), np.array([]), np.array([102.0]), np.array([400.0])]
+        df = recall_by_bins(targets, picks, truth, "snr", [0, 5, 10, 20, 60])
+        assert df.iloc[0]["recall"] == 1.0   # 2 dB bin: hit
+        assert df.iloc[1]["recall"] == 0.0   # 7 dB bin: miss
+        assert df.iloc[3]["recall"] == 0.0   # 30 dB: pick 3 s off
+
+    def test_step_timer(self):
+        from volpick_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(3):
+            with t:
+                pass
+        s = t.summary()
+        assert s["steps"] == 3 and s["steps_per_s"] > 0
+
+    def test_trainer_restore(self, tmp_path):
+        import jax.numpy as jnp
+        from volpick_tpu.models import PhaseNet
+        from volpick_tpu.train.trainer import Trainer
+        from volpick_tpu.train.checkpoints import save_checkpoint
+
+        model = PhaseNet()
+        t1 = Trainer(model, lr=1e-3, ema=True)
+        t1.step = 42
+        state = t1._state(t1.params, t1.opt_state, t1.ema_params, epoch=3)
+        save_checkpoint(tmp_path / "c.ckpt", state)
+        t2 = Trainer(model, lr=1e-3, ema=True)
+        t2.restore(tmp_path / "c.ckpt")
+        assert t2.step == 42
+        a = jax.tree_util.tree_leaves(t1.params)[0]
+        b = jax.tree_util.tree_leaves(t2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_lr_finder(self, tmp_path):
+        from volpick_tpu.data.synthetic import make_synthetic_dataset
+        from volpick_tpu.data import WaveformDataset
+        from volpick_tpu.models import PhaseNet
+        from volpick_tpu.pipeline.augmentations import AugmentConfig
+        from volpick_tpu.pipeline.generator import TrainGenerator
+        from volpick_tpu.train.trainer import Trainer
+        from volpick_tpu.train.lr_finder import lr_find
+
+        make_synthetic_dataset(tmp_path / "ds", n_events=16, n_noise=4, n_samples=3500, seed=8)
+        ds = WaveformDataset(tmp_path / "ds").get_split("train")
+        trainer = Trainer(PhaseNet(), lr=1e-3)
+        gen = TrainGenerator(ds, AugmentConfig(window=3001, stack=False), batch_size=8)
+        res = lr_find(trainer, gen, num_training=6)
+        assert 1e-6 < res["suggestion"] < 1e-1
+        assert len(res["losses"]) >= 3

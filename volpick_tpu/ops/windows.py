@@ -102,6 +102,48 @@ def overlap_stack(
         raise ValueError(f"unknown stacking {stacking!r}")
 
 
+def overlap_stack_uniform(
+    preds: jnp.ndarray,
+    stride: int,
+    blinding: Tuple[int, int] = (0, 0),
+    stacking: str = "avg",
+) -> jnp.ndarray:
+    """Scatter-free overlap stacking for uniformly strided windows.
+
+    Requires window % stride == 0 (e.g. EQT 6000/500, PhaseNet padded): with
+    m = window//stride, window j covers output blocks [j, j+m), so
+    out_block[q] = reduce_i preds[q-i, :, i·stride:(i+1)·stride] — m shifted
+    adds of contiguous arrays instead of a scatter. Output length is
+    (N-1)·stride + window. ~an order of magnitude faster than the scatter
+    form on TPU for day-long streams.
+    """
+    n, k, window = preds.shape
+    if window % stride != 0:
+        raise ValueError(f"window {window} must be a multiple of stride {stride}")
+    m = window // stride
+    l, r = blinding
+    total_blocks = n + m - 1
+    a = preds.reshape(n, k, m, stride)
+
+    w_mask = jnp.zeros((window,), dtype=preds.dtype).at[l : window - r].set(1.0)
+    w_mask = w_mask.reshape(m, stride)
+
+    if stacking == "avg":
+        out = jnp.zeros((total_blocks, k, stride), dtype=preds.dtype)
+        wgt = jnp.zeros((total_blocks, 1, stride), dtype=preds.dtype)
+        for i in range(m):
+            out = out.at[i : i + n].add(a[:, :, i] * w_mask[i])
+            wgt = wgt.at[i : i + n].add(w_mask[i][None, None, :])
+        out = out / jnp.maximum(wgt, 1.0)
+    elif stacking == "max":
+        out = jnp.zeros((total_blocks, k, stride), dtype=preds.dtype)
+        for i in range(m):
+            out = out.at[i : i + n].max(a[:, :, i] * w_mask[i])
+    else:
+        raise ValueError(f"unknown stacking {stacking!r}")
+    return out.transpose(1, 0, 2).reshape(k, total_blocks * stride)
+
+
 def steered_window_indices(
     n_samples: int,
     start_sample: np.ndarray,

@@ -40,7 +40,12 @@ from volpick_tpu.ops.triggers import (
     picks_from_prob_numpy,
     trigger_onset_numpy,
 )
-from volpick_tpu.ops.windows import frame_windows, overlap_stack, window_starts
+from volpick_tpu.ops.windows import (
+    frame_windows,
+    overlap_stack,
+    overlap_stack_uniform,
+    window_starts,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -50,12 +55,15 @@ def _round_up(x: int, m: int) -> int:
 class WaveformPicker:
     """Batched continuous picking around a (model, params) pair."""
 
-    def __init__(self, model, params, detrend: Optional[bool] = None):
+    def __init__(self, model, params, detrend: Optional[bool] = None, use_pallas: bool = False):
         self.model = model
         self.params = params
         # EQT conditions windows by detrend, PhaseNet by demean (reference
         # `volpick/model/models.py:263,664`)
         self.detrend = detrend if detrend is not None else model.name == "EQTransformer"
+        # fused Pallas conditioning kernel (TPU only; XLA's fusion is already
+        # close, the kernel saves one HBM pass on large window batches)
+        self.use_pallas = use_pallas
         self._jitted: Dict = {}
 
     # ------------------------------------------------------------------ utils
@@ -81,6 +89,10 @@ class WaveformPicker:
         return self.model.apply(self.params, frames)
 
     def _condition(self, frames: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas and frames.shape[0] % 8 == 0:
+            from volpick_tpu.ops.pallas.conditioning import condition_windows_pallas
+
+            return condition_windows_pallas(frames, detrend=self.detrend, norm=self.model.norm)
         if self.detrend:
             frames = detrend_linear(frames)
         else:
@@ -112,12 +124,15 @@ class WaveformPicker:
         thresholds: Tuple[float, ...],
         max_picks: int,
         chunk: int,
+        stride: Optional[int] = None,
     ):
         """One jitted program: frame → condition → forward (chunked via
         lax.map to bound VMEM) → overlap-average stack with blinding →
         two-threshold trigger extraction. Only (max_picks)-sized pick buffers
-        leave the device — the speed-of-light path for continuous picking."""
-        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk)
+        leave the device — the speed-of-light path for continuous picking.
+        With a uniform `stride` dividing the window, stacking uses the
+        scatter-free shifted-sum formulation."""
+        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk, stride)
         cache = self._jitted.setdefault("fused", {})
         if key in cache:
             return cache[key]
@@ -144,9 +159,14 @@ class WaveformPicker:
             preds = jax.lax.map(fwd, frames)
             k = preds.shape[2]
             preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
-            curves = jax.vmap(
-                lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
-            )(preds)  # (S, K, total)
+            if stride is not None and window % stride == 0:
+                curves = jax.vmap(
+                    lambda q: overlap_stack_uniform(q, stride, blinding=blinding, stacking=stacking)
+                )(preds)[..., :total]
+            else:
+                curves = jax.vmap(
+                    lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
+                )(preds)  # (S, K, total)
             out = {}
             for label, thr in zip(channels, thresholds):
                 if label == "N":  # noise channel is never triggered on
@@ -179,16 +199,33 @@ class WaveformPicker:
         window = self.in_samples
         if overlap is None:
             overlap = window // 2
-        padded_total = max(total, window)
+        stride = window - overlap
+        # pad so windows tile uniformly (enables scatter-free stacking);
+        # picks in the padded tail are dropped by the caller
+        uniform = window % stride == 0
+        if total <= window:
+            padded_total = window
+            n_win = 1
+        else:
+            n_win = math.ceil((total - window) / stride) + 1
+            padded_total = (n_win - 1) * stride + window
         if padded_total > total:
             data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
-        starts = window_starts(padded_total, window, overlap)
+        starts = np.arange(n_win, dtype=np.int64) * stride
         if max_picks is None:
             max_picks = min(max(32, padded_total // window * 4), 4096)
         channels = self._prob_channels()
         thr = tuple(thresholds[lab] for lab in channels)
         run = self._fused_classify_fn(
-            s, len(starts), padded_total, tuple(blinding), stacking, thr, max_picks, batch_size
+            s,
+            len(starts),
+            padded_total,
+            tuple(blinding),
+            stacking,
+            thr,
+            max_picks,
+            batch_size,
+            stride=stride if uniform else None,
         )
         out = run(self.params, jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts))
         return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}

@@ -51,6 +51,9 @@ class AugmentConfig:
     samples_before: int = 3000
     window_around_prob: float = 2.0 / 3.0
     selection: str = "random"  # onset used by WindowAroundSample
+    # RandomWindow low/high sample boundaries (`models.py:245-250` sample_boundaries)
+    low: Optional[int] = None
+    high: Optional[int] = None
     label_shape: str = "gaussian"
     sigma: float = 20.0
     noise_column: bool = True
@@ -151,9 +154,11 @@ def select_window_offsets(
     # gated branch: current view = [was_start, was_start + pre_window)
     span_was = max(cfg.pre_window - cfg.window, 0)
     off_was = was_start + jnp.floor(u * (span_was + 1)).astype(jnp.int32)
-    # null branch: current view = full trace [0, len)
-    span_null = jnp.maximum(lens.astype(jnp.int32) - cfg.window, 0)
-    off_null = jnp.floor(u * (span_null + 1).astype(jnp.float32)).astype(jnp.int32)
+    # null branch: current view = full trace clipped to [low, high)
+    lo = cfg.low if cfg.low is not None else 0
+    hi = lens.astype(jnp.int32) if cfg.high is None else jnp.minimum(lens.astype(jnp.int32), cfg.high)
+    span_null = jnp.maximum(hi - lo - cfg.window, 0)
+    off_null = lo + jnp.floor(u * (span_null + 1).astype(jnp.float32)).astype(jnp.int32)
     return jnp.where(gate, off_was, off_null)
 
 

@@ -162,6 +162,26 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
 
+    # ------------------------------------------------------------- resume
+    def restore(self, checkpoint_path):
+        """Resume training state (params, EMA, SWA, optimizer moments, step)
+        from a checkpoint written by this trainer — preemption recovery."""
+        from flax import serialization
+
+        from volpick_tpu.train.checkpoints import load_checkpoint
+
+        raw = load_checkpoint(checkpoint_path)
+        self.params = serialization.from_state_dict(self.params, raw["params"])
+        if raw.get("opt_state") is not None:
+            self.opt_state = serialization.from_state_dict(self.opt_state, raw["opt_state"])
+        if raw.get("ema_params") is not None:
+            template = self.ema_params if self.ema_params is not None else self.params
+            self.ema_params = serialization.from_state_dict(template, raw["ema_params"])
+        if raw.get("swa_params") is not None:
+            self.swa_params = serialization.from_state_dict(self.params, raw["swa_params"])
+        self.step = int(raw.get("step", 0))
+        return self
+
     # ------------------------------------------------------------------ steps
     def _loss(self, params, batch, train: bool, rng=None):
         if self.is_eqt:

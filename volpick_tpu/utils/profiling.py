@@ -1,0 +1,84 @@
+"""Tracing / profiling / debugging helpers (SURVEY §5 auxiliary subsystems).
+
+- `trace(dir)`: context manager around jax.profiler traces (view in
+  TensorBoard / Perfetto);
+- `StepTimer`: per-step wall-clock accounting written next to metrics.csv
+  (the reference only records total running_time.txt, `train.py:209-216`);
+- `enable_nan_debugging()`: turns on jax_debug_nans so the first NaN in any
+  jitted computation raises with a traceback.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+@contextlib.contextmanager
+def trace(log_dir):
+    """Profile a block: `with trace("/tmp/jaxtrace"): step(...)`."""
+    import jax
+
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_debugging(enable: bool = True):
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
+
+
+def device_memory_stats() -> Dict:
+    """Per-device memory stats where the backend exposes them."""
+    import jax
+
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = None
+    return out
+
+
+class StepTimer:
+    """Accumulates per-step durations; summary() gives p50/p90/max and
+    steps/s. Write to disk with save()."""
+
+    def __init__(self):
+        self.durations: List[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.durations.append(time.perf_counter() - self._t0)
+        return False
+
+    def summary(self) -> Dict:
+        import numpy as np
+
+        if not self.durations:
+            return {}
+        d = np.asarray(self.durations)
+        return {
+            "steps": len(d),
+            "mean_s": float(d.mean()),
+            "p50_s": float(np.percentile(d, 50)),
+            "p90_s": float(np.percentile(d, 90)),
+            "max_s": float(d.max()),
+            "steps_per_s": float(1.0 / d.mean()),
+        }
+
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(self.summary(), f, indent=2)
