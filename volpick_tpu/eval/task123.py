@@ -238,6 +238,31 @@ def parse_task23(exp_dir) -> Dict:
     return stats
 
 
+def get_optimal_model(df: pd.DataFrame) -> Optional[int]:
+    """Multi-metric model ranking (reference `eval_taks0.py:1297-1305`):
+    normalize dev detection AUC, phase MCC, and inverse P/S residual stds to
+    their column maxima and pick the row with the best mean."""
+    cols = ["dev_det_auc", "dev_phase_mcc"]
+    for phase in ("P", "S"):
+        for cand in (f"dev_{phase}_std_s", f"dev_{phase}_rmse_s"):
+            if cand in df.columns:
+                cols.append(cand)
+                break
+    have = [c for c in cols if c in df.columns]
+    if not have:
+        return None
+    x = df[have].to_numpy(dtype=float).copy()
+    for i, c in enumerate(have):
+        if c.endswith("_std_s") or c.endswith("_rmse_s"):
+            x[:, i] = 1.0 / x[:, i]
+    with np.errstate(invalid="ignore"):
+        x /= np.nanmax(x, axis=0, keepdims=True)
+        means = np.nanmean(x, axis=1)
+    if np.isnan(means).all():
+        return None
+    return int(np.nanargmax(means))
+
+
 def collect_task123_results(base_dir, experiments: Sequence[str]) -> pd.DataFrame:
     rows = []
     for exp in experiments:
