@@ -139,3 +139,29 @@ class TestEQTClassify:
         ann = picker.annotate(st, overlap=3000, blinding=(500, 500), batch_size=32)
         chans = {tr.stats.channel for tr in ann}
         assert chans == {"EQTransformer_Detection", "EQTransformer_P", "EQTransformer_S"}
+
+
+@needs_weights
+class TestPrecision:
+    def test_bf16_picks_close_to_f32(self, rng):
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        st, t0 = synth_event_stream(rng, p_at=40.0, s_at=43.0)
+        out32 = WaveformPicker(model, params).classify(st, overlap=2500, blinding=(500, 500))
+        out16 = WaveformPicker(model, params, precision="bfloat16").classify(
+            st, overlap=2500, blinding=(500, 500)
+        )
+        p32 = max(out32.picks.select(phase="P"), key=lambda p: p.peak_value)
+        p16 = max(out16.picks.select(phase="P"), key=lambda p: p.peak_value)
+        assert abs(p32.peak_time - p16.peak_time) < 0.1  # within 10 samples
+        assert abs(p32.peak_value - p16.peak_value) < 0.05
+
+    def test_bad_precision_rejected(self, rng):
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        with pytest.raises(ValueError):
+            WaveformPicker(model, params, precision="fp8")

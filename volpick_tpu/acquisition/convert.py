@@ -53,6 +53,51 @@ def stream_to_array(stream: Stream, component_order: str = "ZNE"):
     return UTC(starttime), data, completeness / len(component_order)
 
 
+def _frequency_index_numpy(
+    data: np.ndarray, dt: float, low=(1.0, 5.0), high=(10.0, 15.0)
+) -> float:
+    """FI = log10(mean|A| in high band / mean|A| in low band), Hann-windowed
+    FFT (reference `volpick/data/utils.py:27-42`)."""
+    n = len(data)
+    if n < 8:
+        return float("nan")
+    hann = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / (n - 1)))
+    spec = np.abs(np.fft.rfft(data * hann))[: n // 2]
+    freq = np.fft.rfftfreq(n, dt)[: n // 2]
+    hi = (freq > high[0]) & (freq < high[1])
+    lo = (freq > low[0]) & (freq < low[1])
+    if not hi.any() or not lo.any():
+        return float("nan")
+    return float(np.log10(np.mean(spec[hi]) / np.mean(spec[lo])))
+
+
+def _snr_db_numpy(data: np.ndarray, p_sample, s_sample, winlen: int):
+    """Per-component 95th-percentile SNR (reference `utils.py:45-102`)."""
+    n = data.shape[-1]
+    if p_sample is None or (isinstance(p_sample, float) and np.isnan(p_sample)) or p_sample < 10:
+        return [float("nan")] * data.shape[0], float("nan")
+    p = int(p_sample)
+    use_s = s_sample is not None and not pd.isna(s_sample) and s_sample < n - 10
+    sig_start = int(s_sample) if use_s else p
+    if p > n or sig_start >= n or sig_start < 0:  # picks outside the trace
+        return [float("nan")] * data.shape[0], float("nan")
+    snrs = []
+    for comp in data:
+        noi_seg = np.abs(comp[max(0, p - winlen) : p])
+        sig_seg = np.abs(comp[sig_start : min(sig_start + winlen, n)])
+        if not len(noi_seg) or not len(sig_seg):
+            snrs.append(float("nan"))
+            continue
+        noi = np.percentile(noi_seg, 95)
+        sig = np.percentile(sig_seg, 95)
+        if np.isclose(noi, 0) or np.isclose(sig, 0):
+            snrs.append(float("nan"))
+        else:
+            snrs.append(float(20 * np.log10(sig / noi)))
+    mean = float(np.nanmean(snrs)) if not np.all(np.isnan(snrs)) else float("nan")
+    return snrs, mean
+
+
 def trace_has_spikes(data: np.ndarray, factor: float = 25.0, quantile: float = 0.975) -> bool:
     """Spike heuristic: any sample exceeding factor × the per-channel
     |amplitude| quantile (semantics of seisbench.util.trace_ops used by the
@@ -82,9 +127,6 @@ def convert_catalog_to_dataset(
         np.random.seed(seed)
     metadata_path = dest_dir / f"metadata{chunk}.csv"
     waveforms_path = dest_dir / f"waveforms{chunk}.hdf5"
-
-    from volpick_tpu.ops.features import frequency_index as fi_device
-    import jax.numpy as jnp
 
     event_cols = [
         "source_id",
@@ -173,16 +215,16 @@ def convert_catalog_to_dataset(
                     params[f"trace_{phase}_arrival_sample"] = None
                     params[f"trace_{phase}_status"] = None
 
-            from volpick_tpu.ops.features import snr_db
-
-            snrs, avg = snr_db(
-                jnp.asarray(data[None]),
-                jnp.asarray([float(params["trace_p_arrival_sample"]) if params["trace_p_arrival_sample"] is not None else np.nan]),
-                jnp.asarray([float(params["trace_s_arrival_sample"]) if params["trace_s_arrival_sample"] is not None else np.nan]),
-                winlen=int(5 * sampling_rate),
+            # host-side numpy SNR/FI (this is ingest code — it must never
+            # touch an accelerator; the device versions live in ops.features)
+            snrs, avg = _snr_db_numpy(
+                data,
+                params["trace_p_arrival_sample"],
+                params["trace_s_arrival_sample"],
+                int(5 * sampling_rate),
             )
-            params["trace_snr_db"] = list(np.asarray(snrs)[0])
-            params["trace_mean_snr_db"] = float(np.asarray(avg)[0])
+            params["trace_snr_db"] = snrs
+            params["trace_mean_snr_db"] = avg
 
             # frequency index around the reference pick (1 s before, 6 s after)
             ref = params["trace_p_arrival_sample"] or params["trace_s_arrival_sample"]
@@ -194,7 +236,7 @@ def convert_catalog_to_dataset(
                 fis = []
                 for comp in data:
                     if np.sum(np.abs(np.diff(comp))) > 1e-9:
-                        v = float(fi_device(jnp.asarray(comp[lo:hi]), 1.0 / sampling_rate))
+                        v = _frequency_index_numpy(comp[lo:hi], 1.0 / sampling_rate)
                         if not np.isnan(v):
                             fis.append(v)
                 if fis:

@@ -55,7 +55,14 @@ def _round_up(x: int, m: int) -> int:
 class WaveformPicker:
     """Batched continuous picking around a (model, params) pair."""
 
-    def __init__(self, model, params, detrend: Optional[bool] = None, use_pallas: bool = False):
+    def __init__(
+        self,
+        model,
+        params,
+        detrend: Optional[bool] = None,
+        use_pallas: bool = False,
+        precision: str = "float32",
+    ):
         self.model = model
         self.params = params
         # EQT conditions windows by detrend, PhaseNet by demean (reference
@@ -64,6 +71,13 @@ class WaveformPicker:
         # fused Pallas conditioning kernel (TPU only; XLA's fusion is already
         # close, the kernel saves one HBM pass on large window batches)
         self.use_pallas = use_pallas
+        # precision="bfloat16" runs the forward pass in bf16 (~1.6× on the
+        # MXU); probability curves return as float32. Pick times shift by at
+        # most a sample or two on smooth curves — use float32 for benchmark
+        # parity work.
+        if precision not in ("float32", "bfloat16"):
+            raise ValueError(f"precision must be float32|bfloat16, got {precision!r}")
+        self.precision = precision
         self._jitted: Dict = {}
 
     # ------------------------------------------------------------------ utils
@@ -81,12 +95,21 @@ class WaveformPicker:
             return ["Detection", "P", "S"]
         return list(self.model.phases)  # e.g. P, S, N
 
-    def _forward_windows(self, frames: jnp.ndarray) -> jnp.ndarray:
-        """(N, C, window) conditioned windows → (N, K, window) probabilities."""
+    def _apply_model(self, params, frames: jnp.ndarray) -> jnp.ndarray:
+        """Conditioned (N, C, window) windows → (N, K, window) float32 probs,
+        at the configured precision (trace-time; cast fuses into the graph)."""
+        if self.precision == "bfloat16":
+            params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+            frames = frames.astype(jnp.bfloat16)
         if self.model.name == "EQTransformer":
-            det, p, s = self.model.apply(self.params, frames)
-            return jnp.stack([det, p, s], axis=1)
-        return self.model.apply(self.params, frames)
+            det, p, s = self.model.apply(params, frames)
+            out = jnp.stack([det, p, s], axis=1)
+        else:
+            out = self.model.apply(params, frames)
+        return out.astype(jnp.float32)
+
+    def _forward_windows(self, frames: jnp.ndarray) -> jnp.ndarray:
+        return self._apply_model(self.params, frames)
 
     def _condition(self, frames: jnp.ndarray) -> jnp.ndarray:
         if self.use_pallas and frames.shape[0] % 8 == 0:
@@ -105,10 +128,7 @@ class WaveformPicker:
             @jax.jit
             def run(params, frames):
                 frames = self._condition(frames)
-                if self.model.name == "EQTransformer":
-                    det, p, s = self.model.apply(params, frames)
-                    return jnp.stack([det, p, s], axis=1)
-                return self.model.apply(params, frames)
+                return self._apply_model(params, frames)
 
             self._jitted[chunk] = run
         return self._jitted[chunk]
@@ -151,10 +171,7 @@ class WaveformPicker:
 
             def fwd(fr):
                 fr = self._condition(fr)
-                if self.model.name == "EQTransformer":
-                    det, p, ss = self.model.apply(params, fr)
-                    return jnp.stack([det, p, ss], axis=1)
-                return self.model.apply(params, fr)
+                return self._apply_model(params, fr)
 
             preds = jax.lax.map(fwd, frames)
             k = preds.shape[2]
