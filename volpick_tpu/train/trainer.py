@@ -359,6 +359,8 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
 
     restrict = config.get("restrict_to_phase")
     if restrict:
+        # keep only traces carrying one of the requested phases (noise traces
+        # are dropped — `train.py:362-372` generate_phase_mask semantics)
         keep = np.zeros(len(md), dtype=bool)
         from volpick_tpu.pipeline.generator import _onset_arrays
 
@@ -367,9 +369,19 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
             keep |= ~np.isnan(p)
         if "S" in restrict:
             keep |= ~np.isnan(s)
-        keep |= np.isnan(p) & np.isnan(s)  # always keep noise
         dataset.filter(keep)
         md = dataset.metadata
+
+    if config.get("remove_spikes") and "trace_has_spikes" in md.columns:
+        dataset.filter(~md["trace_has_spikes"].fillna(False).astype(bool))
+        md = dataset.metadata
+
+    if "split" not in md.columns or md["split"].isna().all():
+        # auxiliary 60/10/30 split (`train.py:256-262`)
+        split = np.array(["train"] * len(md), dtype=object)
+        split[int(0.6 * len(md)) : int(0.7 * len(md))] = "dev"
+        split[int(0.7 * len(md)) :] = "test"
+        dataset.metadata["split"] = split
 
     if config.get("whole_dataset"):
         dataset.metadata["split"] = "train"
