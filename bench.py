@@ -118,6 +118,9 @@ def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
 
 
 def main():
+    import volpick_tpu
+
+    volpick_tpu.enable_compilation_cache()
     tpu, n_picks = _tpu_throughput()
     try:
         cpu = _torch_cpu_throughput()

@@ -57,3 +57,35 @@ def test_streaming_matches_offline(rng):
     np.testing.assert_allclose(got_p, off_p, atol=0.5)
     # no duplicates
     assert len(got_p) == len(set(np.round(got_p, 2)))
+
+
+@needs_weights
+def test_multichip_classify_matches_single(rng):
+    """Sharded (8 virtual devices) classify_arrays == single-device picks."""
+    import jax
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.parallel import make_mesh
+    from volpick_tpu.picker import WaveformPicker
+
+    assert jax.device_count() == 8
+    model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+    sr, n, S = 100.0, 12000, 8
+    t = np.arange(n) / sr
+    data = rng.normal(size=(S, 3, n)).astype(np.float32) * 0.05
+    for s in range(S):
+        p_at = 20.0 + 8 * s
+        env = np.where(t >= p_at, np.exp(-(t - p_at) / 1.5), 0.0)
+        data[s, 0] += np.sin(2 * np.pi * 8 * t) * env * 2
+        env_s = np.where(t >= p_at + 3, np.exp(-(t - p_at - 3) / 2.5), 0.0)
+        data[s, 1] += np.sin(2 * np.pi * 4 * t) * env_s * 3
+
+    thr = {"P": 0.39, "S": 0.34, "N": 2.0}
+    single = WaveformPicker(model, params).classify_arrays(
+        data, thr, overlap=1500, blinding=(250, 250), batch_size=32
+    )
+    sharded = WaveformPicker(model, params, mesh=make_mesh(8)).classify_arrays(
+        data, thr, overlap=1500, blinding=(250, 250), batch_size=32
+    )
+    for label in ("P", "S"):
+        np.testing.assert_array_equal(single[label][0], sharded[label][0])  # peak idx
+        np.testing.assert_allclose(single[label][1], sharded[label][1], atol=1e-5)

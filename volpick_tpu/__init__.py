@@ -34,3 +34,18 @@ if not logger.handlers:
     )
     logger.addHandler(_h)
 logger.setLevel(logging.INFO)
+
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Turn on JAX's persistent compilation cache (big win for TPU sessions:
+    the fused classify/train programs compile once per machine, not per
+    process). Called automatically by the trainer and bench entry points;
+    set VOLPICK_TPU_NO_COMPILE_CACHE=1 to disable."""
+    if os.environ.get("VOLPICK_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = cache_dir or os.path.join(cache_root, "jaxcache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -62,6 +62,7 @@ class WaveformPicker:
         detrend: Optional[bool] = None,
         use_pallas: bool = False,
         precision: str = "float32",
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -78,6 +79,9 @@ class WaveformPicker:
         if precision not in ("float32", "bfloat16"):
             raise ValueError(f"precision must be float32|bfloat16, got {precision!r}")
         self.precision = precision
+        # multi-chip inference: shard the station axis of classify_arrays over
+        # a Mesh(('data',)); params replicate, collectives ride ICI
+        self.mesh = mesh
         self._jitted: Dict = {}
 
     # ------------------------------------------------------------------ utils
@@ -159,7 +163,6 @@ class WaveformPicker:
         window = self.in_samples
         channels = self._prob_channels()
 
-        @jax.jit
         def run(params, data, starts):
             s, c = data.shape[0], data.shape[1]
             frames = frame_windows(data, starts, window)  # (N, S, C, window)
@@ -194,6 +197,14 @@ class WaveformPicker:
                 )
             return out
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            sh = NamedSharding(self.mesh, P("data"))
+            run = jax.jit(run, in_shardings=(repl, sh, repl))
+        else:
+            run = jax.jit(run)
         cache[key] = run
         return run
 

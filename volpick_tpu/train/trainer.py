@@ -433,6 +433,9 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
 
 def train(config: Dict, experiment_name: str = "exp", test_run: bool = False) -> Dict:
     """The `train.py --config` entry point (reference `train.py:63-222`)."""
+    import volpick_tpu
+
+    volpick_tpu.enable_compilation_cache()
     model_args = dict(config.get("model_args", {}))
     model_name = config["model"].lower()
     arch_args = {k: v for k, v in model_args.items() if k not in _LIT_ONLY_ARGS}
