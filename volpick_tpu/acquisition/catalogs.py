@@ -8,7 +8,6 @@ specification; field columns match the reference's readers
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

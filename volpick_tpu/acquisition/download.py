@@ -13,12 +13,11 @@ from __future__ import annotations
 
 import multiprocessing as mp
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
 
-from volpick_tpu import logger
 from volpick_tpu.core.stream import UTC
 
 

@@ -12,7 +12,6 @@ hypocenter century.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List, Optional, Tuple
 
 from volpick_tpu.acquisition.events import Catalog, Event, Magnitude, Origin, PhasePick

@@ -9,7 +9,7 @@ peak_value, phase}.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Iterable, Iterator, List, Optional
+from typing import Iterable, List, Optional
 
 from volpick_tpu.core.stream import UTC
 

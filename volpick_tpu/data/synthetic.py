@@ -9,7 +9,7 @@ can be exercised hermetically in CI where the real VCSEIS data is unavailable.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

@@ -7,7 +7,7 @@ recall / residual statistics, separating LP from regular events.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd

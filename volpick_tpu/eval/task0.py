@@ -14,7 +14,6 @@ uses the vectorized on-device trigger (ops.triggers.extract_picks_batched).
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -8,7 +8,6 @@ merged into continuous Traces.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Union

@@ -18,7 +18,7 @@ sample-for-sample (see tests/test_model_parity.py against the torch oracle).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ functions used during dataset compilation:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ class order of the model (PhaseNet: "PSN" with a trailing noise row; EQT: "PS").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ once per (n_windows, window) bucket.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

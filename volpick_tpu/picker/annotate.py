@@ -26,7 +26,7 @@ reuse a single executable.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,21 +35,13 @@ import numpy as np
 from volpick_tpu.core.picks import ClassifyOutput, Detection, Pick, PickList
 from volpick_tpu.core.stream import Stream, Trace, UTC, group_streams_by_instrument
 from volpick_tpu.ops.signal import demean, detrend_linear, normalize_amplitude
-from volpick_tpu.ops.triggers import (
-    extract_triggers_batched,
-    picks_from_prob_numpy,
-    trigger_onset_numpy,
-)
+from volpick_tpu.ops.triggers import extract_triggers_batched
 from volpick_tpu.ops.windows import (
     frame_windows,
     overlap_stack,
     overlap_stack_uniform,
     window_starts,
 )
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class WaveformPicker:

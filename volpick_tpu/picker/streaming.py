@@ -10,7 +10,7 @@ streamed picks match offline classify() on the same data.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -11,8 +11,6 @@ everything else (windowing, labels, stacking, normalization) runs in
 from __future__ import annotations
 
 import math
-import threading
-import queue as queue_mod
 from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np

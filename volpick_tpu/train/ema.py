@@ -10,10 +10,7 @@ into the step program.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 
 def ema_update(ema_params, params, decay: float = 0.999):

@@ -7,7 +7,7 @@ Lightning tuner's suggestion rule. Training state is thrown away afterwards.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Optional
 
 
 def warmup_scale(step: int, warmup_steps: int = 500) -> float:

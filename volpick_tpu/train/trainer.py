@@ -25,10 +25,8 @@ from __future__ import annotations
 import json
 import math
 import time
-from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -460,6 +458,11 @@ def train(config: Dict, experiment_name: str = "exp", test_run: bool = False) ->
         lr_scheduler_args=model_args.get("lr_scheduler_args"),
         monitor="train_loss" if config.get("whole_dataset") else "val_loss",
     )
+    if config.get("resume"):
+        ckpt = Path(config.get("save_dir", "weights")) / experiment_name / "checkpoints" / "last.ckpt"
+        if ckpt.exists():
+            trainer.restore(ckpt)
+            logger.info(f"resumed from {ckpt} at step {trainer.step}")
     train_gen, dev_gen = prepare_data(config, model, test_run)
     if config.get("whole_dataset"):
         dev_gen = None

@@ -13,7 +13,6 @@ from __future__ import annotations
 import contextlib
 import json
 import time
-from pathlib import Path
 from typing import Dict, List, Optional
 
 

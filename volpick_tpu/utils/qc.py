@@ -10,7 +10,7 @@ flagged traces can optionally be rendered with plot_waveform for human review.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
