@@ -69,6 +69,7 @@ def _tpu_throughput(n_iter: int = 20):
     run = picker._fused_classify_fn(
         STATIONS, n_win, total, BLINDING, "avg",
         (thr["Detection"], thr["P"], thr["S"]), 64, 256,
+        stride=WINDOW - OVERLAP,
     )
     d = jnp.asarray(data)
     st = jnp.asarray(starts)

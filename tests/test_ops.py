@@ -295,8 +295,22 @@ class TestUniformStacking:
         got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride, stacking="max"))
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
-    def test_rejects_non_divisible(self, rng):
+    def test_non_divisible_stride_matches_scatter(self, rng):
+        # PhaseNet geometry: prime window 3001, stride 501
+        from volpick_tpu.ops.windows import overlap_stack_uniform
+
+        window, stride, n = 3001, 501, 7
+        total = (n - 1) * stride + window
+        preds = rng.random((n, 3, window)).astype(np.float32)
+        starts = np.arange(n) * stride
+        ref = np.asarray(
+            overlap_stack(jnp.asarray(preds), jnp.asarray(starts), total, blinding=(250, 250))
+        )
+        got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride, blinding=(250, 250)))
+        np.testing.assert_allclose(got[:, :total], ref, atol=1e-5)
+
+    def test_rejects_stride_gt_window(self, rng):
         from volpick_tpu.ops.windows import overlap_stack_uniform
 
         with pytest.raises(ValueError):
-            overlap_stack_uniform(jnp.zeros((2, 1, 10)), 3)
+            overlap_stack_uniform(jnp.zeros((2, 1, 10)), 11)

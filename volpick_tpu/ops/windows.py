@@ -110,22 +110,24 @@ def overlap_stack_uniform(
 ) -> jnp.ndarray:
     """Scatter-free overlap stacking for uniformly strided windows.
 
-    Requires window % stride == 0 (e.g. EQT 6000/500, PhaseNet padded): with
-    m = window//stride, window j covers output blocks [j, j+m), so
+    With m = ceil(window/stride), window j covers output blocks [j, j+m), so
     out_block[q] = reduce_i preds[q-i, :, i·stride:(i+1)·stride] — m shifted
-    adds of contiguous arrays instead of a scatter. Output length is
-    (N-1)·stride + window. ~an order of magnitude faster than the scatter
-    form on TPU for day-long streams.
+    adds of contiguous arrays instead of a scatter. Windows whose length is
+    not a stride multiple are zero-padded with zero stacking weight, which is
+    exact. Output length is (n+m-1)·stride ≥ (N-1)·stride + window; callers
+    trim to their stream length. ~an order of magnitude faster than the
+    scatter form on TPU for day-long streams.
     """
     n, k, window = preds.shape
-    if window % stride != 0:
-        raise ValueError(f"window {window} must be a multiple of stride {stride}")
-    m = window // stride
+    if stride > window:
+        raise ValueError(f"stride {stride} must be <= window {window}")
+    m = -(-window // stride)  # ceil
     l, r = blinding
     total_blocks = n + m - 1
-    a = preds.reshape(n, k, m, stride)
+    pad = m * stride - window
+    a = jnp.pad(preds, ((0, 0), (0, 0), (0, pad))).reshape(n, k, m, stride)
 
-    w_mask = jnp.zeros((window,), dtype=preds.dtype).at[l : window - r].set(1.0)
+    w_mask = jnp.zeros((m * stride,), dtype=preds.dtype).at[l : window - r].set(1.0)
     w_mask = w_mask.reshape(m, stride)
 
     if stacking == "avg":

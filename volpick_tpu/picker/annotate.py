@@ -171,7 +171,7 @@ class WaveformPicker:
             preds = jax.lax.map(fwd, frames)
             k = preds.shape[2]
             preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
-            if stride is not None and window % stride == 0:
+            if stride is not None:
                 curves = jax.vmap(
                     lambda q: overlap_stack_uniform(q, stride, blinding=blinding, stacking=stacking)
                 )(preds)[..., :total]
@@ -222,7 +222,6 @@ class WaveformPicker:
         stride = window - overlap
         # pad so windows tile uniformly (enables scatter-free stacking);
         # picks in the padded tail are dropped by the caller
-        uniform = window % stride == 0
         if total <= window:
             padded_total = window
             n_win = 1
@@ -235,7 +234,8 @@ class WaveformPicker:
         if max_picks is None:
             max_picks = min(max(32, padded_total // window * 4), 4096)
         channels = self._prob_channels()
-        thr = tuple(thresholds[lab] for lab in channels)
+        # missing labels default to 2.0 (never triggers — e.g. the noise row)
+        thr = tuple(thresholds.get(lab, 2.0) for lab in channels)
         run = self._fused_classify_fn(
             s,
             len(starts),
@@ -245,7 +245,7 @@ class WaveformPicker:
             thr,
             max_picks,
             batch_size,
-            stride=stride if uniform else None,
+            stride=stride,
         )
         out = run(self.params, jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts))
         return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
