@@ -309,8 +309,20 @@ class TestUniformStacking:
         got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride, blinding=(250, 250)))
         np.testing.assert_allclose(got[:, :total], ref, atol=1e-5)
 
-    def test_rejects_stride_gt_window(self, rng):
+    def test_rejects_bad_stride(self, rng):
         from volpick_tpu.ops.windows import overlap_stack_uniform
 
         with pytest.raises(ValueError):
-            overlap_stack_uniform(jnp.zeros((2, 1, 10)), 11)
+            overlap_stack_uniform(jnp.zeros((2, 1, 10)), 0)
+
+    def test_gapped_windows_stride_gt_window(self, rng):
+        # negative overlap (gaps between windows): gaps come out as 0
+        from volpick_tpu.ops.windows import overlap_stack_uniform
+
+        window, stride, n = 8, 12, 3
+        preds = np.ones((n, 1, window), dtype=np.float32)
+        starts = np.arange(n) * stride
+        total = (n - 1) * stride + window
+        ref = np.asarray(overlap_stack(jnp.asarray(preds), jnp.asarray(starts), total))
+        got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride))
+        np.testing.assert_allclose(got[:, :total], ref, atol=1e-6)

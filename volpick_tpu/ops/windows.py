@@ -119,9 +119,11 @@ def overlap_stack_uniform(
     scatter form on TPU for day-long streams.
     """
     n, k, window = preds.shape
-    if stride > window:
-        raise ValueError(f"stride {stride} must be <= window {window}")
-    m = -(-window // stride)  # ceil
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    # stride > window (gapped windows) works too: m=1 and the zero-weight pad
+    # covers the gap, which comes out as 0 like the scatter form.
+    m = max(-(-window // stride), 1)  # ceil
     l, r = blinding
     total_blocks = n + m - 1
     pad = m * stride - window

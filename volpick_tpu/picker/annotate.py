@@ -146,8 +146,10 @@ class WaveformPicker:
         lax.map to bound VMEM) → overlap-average stack with blinding →
         two-threshold trigger extraction. Only (max_picks)-sized pick buffers
         leave the device — the speed-of-light path for continuous picking.
-        With a uniform `stride` dividing the window, stacking uses the
-        scatter-free shifted-sum formulation."""
+        With a uniform `stride` (any value; window starts are derived as
+        i·stride, overriding `starts`), stacking uses the scatter-free
+        shifted-sum formulation unless the unroll factor ceil(window/stride)
+        would be pathological (tiny strides fall back to the scatter form)."""
         key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk, stride)
         cache = self._jitted.setdefault("fused", {})
         if key in cache:
@@ -155,8 +157,16 @@ class WaveformPicker:
         window = self.in_samples
         channels = self._prob_channels()
 
+        # tiny strides would unroll ceil(window/stride) shifted adds; use the
+        # single fused scatter instead
+        use_uniform = stride is not None and -(-window // max(stride or 1, 1)) <= 64
+
         def run(params, data, starts):
             s, c = data.shape[0], data.shape[1]
+            if use_uniform:
+                # derive starts from the stride so framing and stacking can
+                # never disagree about window placement
+                starts = jnp.arange(n_win, dtype=jnp.int32) * stride
             frames = frame_windows(data, starts, window)  # (N, S, C, window)
             frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
             n_frames = s * n_win
@@ -171,7 +181,7 @@ class WaveformPicker:
             preds = jax.lax.map(fwd, frames)
             k = preds.shape[2]
             preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
-            if stride is not None:
+            if use_uniform:
                 curves = jax.vmap(
                     lambda q: overlap_stack_uniform(q, stride, blinding=blinding, stacking=stacking)
                 )(preds)[..., :total]
@@ -234,8 +244,11 @@ class WaveformPicker:
         if max_picks is None:
             max_picks = min(max(32, padded_total // window * 4), 4096)
         channels = self._prob_channels()
-        # missing labels default to 2.0 (never triggers — e.g. the noise row)
-        thr = tuple(thresholds.get(lab, 2.0) for lab in channels)
+        # the noise row never triggers; any other missing label is a caller
+        # mistake and must fail loudly, not silently produce zero picks
+        thr = tuple(
+            thresholds.get(lab, 2.0) if lab == "N" else thresholds[lab] for lab in channels
+        )
         run = self._fused_classify_fn(
             s,
             len(starts),
