@@ -279,3 +279,52 @@ class TestConverter:
         assert "source_frequency_index" in md.columns
         data = ds.get_waveforms(0)
         assert data.shape == (3, 6000)
+
+
+class TestRotation:
+    def test_rotate_identity(self, rng):
+        from volpick_tpu.core.rotate import rotate_to_zne
+        from volpick_tpu.core.stream import Stream, Trace, UTC
+
+        data = rng.normal(size=(3, 500))
+        hdr = dict(network="XX", station="ROT", sampling_rate=100.0, starttime=UTC(0))
+        st = Stream([
+            Trace(data[0], dict(hdr, channel="BHZ")),
+            Trace(data[1], dict(hdr, channel="BHN")),
+            Trace(data[2], dict(hdr, channel="BHE")),
+        ])
+        ori = {"BHZ": (0.0, -90.0), "BHN": (0.0, 0.0), "BHE": (90.0, 0.0)}
+        out = rotate_to_zne(st, ori)
+        for comp, ref in zip("ZNE", data):
+            got = out.select(channel=f"BH{comp}")[0].data
+            np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_rotate_12_channels(self, rng):
+        from volpick_tpu.core.rotate import rotate_to_zne
+        from volpick_tpu.core.stream import Stream, Trace, UTC
+
+        # true ZNE motion, recorded on BH1 az=30, BH2 az=120, BHZ vertical
+        zne = rng.normal(size=(3, 400))
+        az1, az2 = np.deg2rad(30.0), np.deg2rad(120.0)
+        bh1 = zne[1] * np.cos(az1) + zne[2] * np.sin(az1)
+        bh2 = zne[1] * np.cos(az2) + zne[2] * np.sin(az2)
+        bhz = zne[0]
+        hdr = dict(network="XX", station="R12", sampling_rate=100.0, starttime=UTC(0))
+        st = Stream([
+            Trace(bhz, dict(hdr, channel="BHZ")),
+            Trace(bh1, dict(hdr, channel="BH1")),
+            Trace(bh2, dict(hdr, channel="BH2")),
+        ])
+        out = rotate_to_zne(st, {"BHZ": (0, -90.0), "BH1": (30.0, 0.0), "BH2": (120.0, 0.0)})
+        np.testing.assert_allclose(out.select(channel="BHZ")[0].data, zne[0], atol=1e-9)
+        np.testing.assert_allclose(out.select(channel="BHN")[0].data, zne[1], atol=1e-9)
+        np.testing.assert_allclose(out.select(channel="BHE")[0].data, zne[2], atol=1e-9)
+
+    def test_rotate_degenerate_raises(self, rng):
+        from volpick_tpu.core.rotate import rotate_to_zne
+        from volpick_tpu.core.stream import Stream, Trace, UTC
+
+        hdr = dict(network="XX", station="BAD", sampling_rate=100.0, starttime=UTC(0))
+        st = Stream([Trace(rng.normal(size=100), dict(hdr, channel=c)) for c in ("BH1", "BH2", "BH3")])
+        with pytest.raises(ValueError):
+            rotate_to_zne(st, {"BH1": (0, 0), "BH2": (0, 0), "BH3": (90, 0)})

@@ -29,7 +29,11 @@ def load_best_model(
     experiment_dir, arch: str, model_args: Optional[dict] = None, prefer_ema: bool = True
 ) -> Tuple[object, Dict]:
     """(model, params) from an experiment's best checkpoint (min monitored
-    loss; the paired -EMA weights when present and prefer_ema)."""
+    loss; the paired -EMA weights when present and prefer_ema).
+
+    Note: EMA with decay 0.999 needs thousands of steps to converge toward
+    the trained weights; for short runs (< ~3k steps) pass prefer_ema=False
+    or the returned weights will still be dominated by the initialization."""
     model = _MODELS[arch.lower()](**(model_args or {}))
     path = find_best_checkpoint(experiment_dir, prefer_ema=prefer_ema)
     if path is None:
