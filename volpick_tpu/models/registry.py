@@ -20,9 +20,10 @@ import jax.numpy as jnp
 
 from volpick_tpu.models.eqtransformer import EQTransformer
 from volpick_tpu.models.phasenet import PhaseNet
+from volpick_tpu.models.tpupicknet import TPUPickNet
 from volpick_tpu.models.torch_import import import_eqtransformer, import_phasenet
 
-_ARCHS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer}
+_ARCHS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
 
 _DEFAULT_SEARCH = [
     os.environ.get("VOLPICK_TPU_MODELS", ""),

@@ -19,10 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from volpick_tpu.models import EQTransformer, PhaseNet
+from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
 from volpick_tpu.train.checkpoints import find_best_checkpoint, load_checkpoint
 
-_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer}
+_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
 
 
 def load_best_model(
@@ -104,14 +104,17 @@ def load_pretrained_npz(json_path, npz_path):
     """Load a native pretrained pair → (model, params)."""
     with open(json_path) as f:
         meta = json.load(f)
-    arch = "eqtransformer" if "lstm_blocks" in meta.get("model_args", {}) else None
     margs = dict(meta.get("model_args", {}))
     # tuples serialized as lists
     for k, v in list(margs.items()):
         if isinstance(v, list):
             margs[k] = tuple(v)
-    if arch is None:
-        arch = "phasenet" if "filters_root" in margs or margs.get("phases", "") == "PSN" else "eqtransformer"
+    if "d_model" in margs:
+        arch = "tpupicknet"
+    elif "lstm_blocks" in margs:
+        arch = "eqtransformer"
+    else:
+        arch = "phasenet"
     model = _MODELS[arch](default_args=dict(meta.get("default_args", {})), **margs)
     template = model.init(jax.random.PRNGKey(0))
     data = np.load(npz_path)

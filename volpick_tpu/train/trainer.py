@@ -35,7 +35,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from volpick_tpu import logger
-from volpick_tpu.models import EQTransformer, PhaseNet
+from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
 from volpick_tpu.pipeline.augmentations import AugmentConfig
 from volpick_tpu.pipeline.generator import TrainGenerator
 from volpick_tpu.train.checkpoints import CheckpointManager, CSVMetricsLogger
@@ -333,7 +333,7 @@ class Trainer:
 
 
 # --------------------------------------------------------------- config entry
-_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer}
+_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
 _LIT_ONLY_ARGS = {
     "lr",
     "sigma",
