@@ -20,8 +20,8 @@ import time
 
 import numpy as np
 
-STATIONS = 4
-MINUTES = 10
+STATIONS = 8
+MINUTES = 20
 SR = 100.0
 OVERLAP = 5500
 BLINDING = (500, 500)
@@ -42,7 +42,7 @@ def _make_stream_array(rng):
     return data
 
 
-def _tpu_throughput(n_iter: int = 20):
+def _tpu_throughput(n_iter: int = 12):
     import jax
     import jax.numpy as jnp
 
