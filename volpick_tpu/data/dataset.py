@@ -72,7 +72,10 @@ class WaveformDataset:
             df["trace_chunk"] = chunk
             frames.append(df)
         self.metadata = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-        if "split" not in self.metadata.columns:
+        # remember whether the dataset shipped a split (consumers may inject
+        # an auxiliary one when it did not, `train.py:255-261` semantics)
+        self.had_split_column = "split" in self.metadata.columns
+        if not self.had_split_column:
             self.metadata["split"] = "train"
         self._h5: Dict[str, object] = {}
 

@@ -203,8 +203,17 @@ def evaluate(
     region = (t >= borders[:, :1]) & (t < borders[:, 1:2])
     for phase, ki in chans.items():
         prob = preds[:, ki] * region  # restrict to the steered region
-        idx, val, valid = extract_picks_batched(jnp.asarray(prob), prob_threshold, max_picks=16)
-        idx, valid = np.asarray(idx), np.asarray(valid)
+        # chunked extraction bounds device memory for large target sets;
+        # max_picks=64 covers even very jittery low-threshold curves
+        idx_parts, valid_parts = [], []
+        for lo in range(0, len(prob), batch_size):
+            i_c, _, v_c = extract_picks_batched(
+                jnp.asarray(prob[lo : lo + batch_size]), prob_threshold, max_picks=64
+            )
+            idx_parts.append(np.asarray(i_c))
+            valid_parts.append(np.asarray(v_c))
+        idx = np.concatenate(idx_parts)
+        valid = np.concatenate(valid_parts)
         picks = []
         for i in range(len(targets)):
             p = idx[i][valid[i]]
@@ -220,7 +229,7 @@ def get_ground_truth(dataset, targets: pd.DataFrame):
     """Per-window P/S ground-truth picks (reference `eval_taks0.py:203-239`)."""
     from volpick_tpu.pipeline.generator import _onset_arrays
 
-    p_all, s_all = _onset_arrays(dataset.metadata)
+    p_all, s_all = _onset_arrays(dataset.metadata, target_rate=dataset.sampling_rate)
     p_gt, s_gt = [], []
     for _, row in targets.iterrows():
         i = int(row["trace_idx"])

@@ -7,9 +7,10 @@ workers; here labels are painted for a whole batch on device from (B, n_phases)
 onset-sample arrays, fully vectorized and fusable with the rest of the
 augmentation program.
 
-Conventions: onsets are float sample indices; NaN (or negative sentinel) marks
-"no pick of this phase in this window". Output is (B, n_classes, W) with the
-class order of the model (PhaseNet: "PSN" with a trailing noise row; EQT: "PS").
+Conventions: onsets are float sample indices (window-relative; may be
+negative or beyond the window — the in-window tail is still painted); NaN
+marks "no pick of this phase in this window". Output is (B, n_classes, W)
+with the class order of the model (PhaseNet: "PSN" noise row last; EQT: "PS").
 """
 
 from __future__ import annotations
@@ -55,7 +56,10 @@ def probabilistic_labels(
     onset_grid = onsets[:, :, None].astype(jnp.float32)
     dist = t - onset_grid
     curves = _phase_curve(dist, shape, float(sigma))
-    present = ~jnp.isnan(onset_grid) & (onset_grid >= 0)
+    # NaN marks an absent pick; onsets outside the window (including negative
+    # window-relative positions) still paint their in-window tail, matching
+    # the reference labeller
+    present = ~jnp.isnan(onset_grid)
     curves = jnp.where(present, curves, 0.0)
     if noise_column:
         noise = jnp.clip(1.0 - jnp.sum(curves, axis=1, keepdims=True), 0.0, 1.0)

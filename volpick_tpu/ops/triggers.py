@@ -61,7 +61,9 @@ def picks_from_prob_numpy(
     triggers = trigger_onset_numpy(prob, thres, thres2)
     picks, values = [], []
     for on, off in triggers:
-        seg = prob[on:off] if off > on else prob[on : on + 1]
+        # the reference searches prob[s0 : s1 + 1] — inclusive of the
+        # (obspy-inclusive) off index (`eval_taks0.py:46-56`)
+        seg = prob[on : off + 1]
         k = int(np.argmax(seg))
         picks.append(on + k)
         values.append(float(prob[on + k]))
@@ -150,10 +152,9 @@ def extract_triggers_batched(
     # (reference slices prob[on:off] with off exclusive) unless the run has
     # length 1 after the onset.
     pos = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (b, w))
-    in_seg = _segmented_scan_or(onset, run_start)  # at/after onset within run
-    # off-exclusive: drop the run_end sample from the search window when the
-    # segment has >= 2 samples, i.e. when the run_end sample is not the onset.
-    searchable = in_seg & ~(run_end & ~onset)
+    # peak search covers [onset, run_end] inclusive (the reference slices
+    # prob[s0 : s1 + 1], `eval_taks0.py:46-56`)
+    searchable = _segmented_scan_or(onset, run_start)  # at/after onset within run
     neg_inf = jnp.array(-jnp.inf, dtype=prob.dtype)
     vals = jnp.where(searchable, prob, neg_inf)
 

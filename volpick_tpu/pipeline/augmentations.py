@@ -298,8 +298,12 @@ def _superimpose_pass_dynamic(key, prim, sec, fee, active, cfg, margin):
     x, y = prim["X"], prim["y"]
     x2, y2 = sec["X"], sec["y"]
 
-    hi = n - margin  # (B,) per-sample upper bound
-    feasible = fee < hi
+    hi = n - margin  # (B,) per-sample placement upper bound (exclusive)
+    # feasibility uses 2·sep for BOTH modes (reference: superimpose breaks at
+    # fee >= n - 2·sep, `augmentations.py:198-200`; duplicate at
+    # fee + 2·sep >= n, `augmentations.py:458`) while the duplicate's
+    # placement range extends to n - sep (`augmentations.py:474-476`)
+    feasible = fee < n - 2 * cfg.sep
     p_peak_ok = jnp.max(y2[:, 0], axis=-1) > 0.99
     active = active & feasible & p_peak_ok
 

@@ -26,8 +26,13 @@ PHASE_COLUMNS = {
 }
 
 
-def _onset_arrays(metadata) -> Tuple[np.ndarray, np.ndarray]:
-    """(p, s) float arrays with NaN for absent picks, merging column aliases."""
+def _onset_arrays(metadata, target_rate=None) -> Tuple[np.ndarray, np.ndarray]:
+    """(p, s) float arrays with NaN for absent picks, merging column aliases.
+
+    With `target_rate`, arrival samples stored at a different
+    trace_sampling_rate_hz are rescaled to the target rate — matching the
+    rescaling `WaveformDataset.get_sample` applies to the waveforms these
+    onsets are compared against."""
     n = len(metadata)
     p = np.full(n, np.nan, dtype=np.float32)
     s = np.full(n, np.nan, dtype=np.float32)
@@ -37,6 +42,11 @@ def _onset_arrays(metadata) -> Tuple[np.ndarray, np.ndarray]:
             tgt = p if phase == "P" else s
             take = np.isnan(tgt) & ~np.isnan(vals)
             tgt[take] = vals[take]
+    if target_rate is not None and "trace_sampling_rate_hz" in metadata.columns:
+        sr = np.asarray(metadata["trace_sampling_rate_hz"], dtype=np.float32)
+        scale = np.where(np.isnan(sr) | (sr <= 0), 1.0, float(target_rate) / sr)
+        p *= scale
+        s *= scale
     return p, s
 
 
@@ -57,7 +67,7 @@ class RawBatchSource:
         for i, w in enumerate(waves):
             self.data[i, :, : min(w.shape[-1], buffer_len)] = w[:, :buffer_len]
         self.lens = np.minimum(self.lens, buffer_len)
-        self.p, self.s = _onset_arrays(dataset.metadata)
+        self.p, self.s = _onset_arrays(dataset.metadata, target_rate=dataset.sampling_rate)
 
     def __len__(self):
         return self.data.shape[0]

@@ -75,31 +75,35 @@ def make_augment_config(model, model_args: Dict, stack: bool) -> AugmentConfig:
     shape = model_args.get("prob_label_shape", "gaussian")
     if shape == "triangle":
         sigma *= 2  # reference `models.py:154-155`
+    boundaries = model_args.get("sample_boundaries") or (None, None)
+    common = dict(
+        sigma=sigma,
+        label_shape=shape,
+        norm=model.norm,
+        stack=stack,
+        rotate_array=bool(model_args.get("rotate_array", False)),
+        low=boundaries[0],
+        high=boundaries[1],
+    )
     if isinstance(model, EQTransformer):
         return AugmentConfig(
             window=model.in_samples,
             pre_window=2 * model.in_samples,
             samples_before=model.in_samples,
-            sigma=sigma,
-            label_shape=shape,
             noise_column=False,
             detection=True,
             detection_fixed_window=model_args.get("detection_fixed_window"),
-            norm=model.norm,
             detrend=True,
-            stack=stack,
+            **common,
         )
     return AugmentConfig(
         window=model.in_samples,
         pre_window=6000,
         samples_before=3000,
-        sigma=sigma,
-        label_shape=shape,
         noise_column=True,
         detection=False,
-        norm=model.norm,
         detrend=False,
-        stack=stack,
+        **common,
     )
 
 
@@ -252,15 +256,25 @@ class Trainer:
         plateau_scale = 1.0
         t_start = time.perf_counter()
         history = []
-        swa_start = float(self.swa.get("swa_epoch_start", 0.8)) if self.swa else None
+        # PL StochasticWeightAveraging semantics: swa_epoch_start may be an
+        # int epoch index or a fraction of max_epochs; swa_lrs may be a list
+        if self.swa:
+            raw = self.swa.get("swa_epoch_start", 0.8)
+            swa_start_epoch = int(raw) if raw >= 1 else int(float(raw) * max_epochs)
+            swa_lr_cfg = self.swa.get("swa_lrs")
+            if isinstance(swa_lr_cfg, (list, tuple)):
+                swa_lr_cfg = swa_lr_cfg[0]
+        else:
+            swa_start_epoch = None
+            swa_lr_cfg = None
 
         for epoch in range(max_epochs):
             # --- train
             losses = []
             for batch in train_gen.epoch():
                 lr = self.lr * warmup_scale(self.step, self.warmup_steps) * plateau_scale
-                if self.swa and swa_start is not None and epoch >= swa_start * max_epochs:
-                    lr = float(self.swa.get("swa_lrs", lr))
+                if self.swa and swa_start_epoch is not None and epoch >= swa_start_epoch:
+                    lr = float(swa_lr_cfg) if swa_lr_cfg is not None else lr
                 rng, sub = jax.random.split(rng)
                 batch = jax.device_put(batch, self.batch_sharding)
                 params, opt_state, ema_params, loss = self._train_step(
@@ -274,7 +288,7 @@ class Trainer:
             train_loss = float(np.mean(jax.device_get(losses))) if losses else math.nan
 
             # --- SWA collection at epoch end
-            if self.swa and epoch >= swa_start * max_epochs:
+            if self.swa and epoch >= swa_start_epoch:
                 if self.swa_params is None:
                     self.swa_params = jax.tree_util.tree_map(jnp.copy, params)
                     self.swa_n = 1
@@ -374,8 +388,9 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
         dataset.filter(~md["trace_has_spikes"].fillna(False).astype(bool))
         md = dataset.metadata
 
-    if "split" not in md.columns or md["split"].isna().all():
+    if not getattr(dataset, "had_split_column", True) or md["split"].isna().all():
         # auxiliary 60/10/30 split (`train.py:256-262`)
+        logger.warning("dataset has no split column; injecting auxiliary 60/10/30 split")
         split = np.array(["train"] * len(md), dtype=object)
         split[int(0.6 * len(md)) : int(0.7 * len(md))] = "dev"
         split[int(0.7 * len(md)) :] = "test"
