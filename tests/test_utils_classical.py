@@ -216,3 +216,9 @@ class TestAnalysisProfiling:
         res = lr_find(trainer, gen, num_training=6)
         assert 1e-6 < res["suggestion"] < 1e-1
         assert len(res["losses"]) >= 3
+
+    def test_plot_spectrum(self, tmp_path, rng):
+        from volpick_tpu.utils.plotting import plot_spectrum
+
+        plot_spectrum(rng.normal(size=(3, 1000)), 100.0, save_path=tmp_path / "s.png")
+        assert (tmp_path / "s.png").exists()

@@ -66,6 +66,39 @@ def spectrogram(data: np.ndarray, sampling_rate: float, ax=None, wlen: float = 1
     return im
 
 
+def plot_spectrum(
+    data: np.ndarray,
+    sampling_rate: float = 100.0,
+    ax=None,
+    component_names: str = "ZNE",
+    loglog: bool = True,
+    save_path=None,
+):
+    """Amplitude spectra of (C, W) waveforms (`volpick/data/utils.py`
+    plot_spectrum role)."""
+    plt = _mpl()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(7, 4))
+    data = np.atleast_2d(data)
+    w = data.shape[-1]
+    freq = np.fft.rfftfreq(w, 1.0 / sampling_rate)
+    for i, comp in enumerate(data):
+        spec = np.abs(np.fft.rfft(comp - comp.mean()))
+        label = component_names[i] if i < len(component_names) else f"ch{i}"
+        ax.plot(freq[1:], spec[1:], lw=0.7, label=label)
+    if loglog:
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+    ax.set_xlabel("frequency (Hz)")
+    ax.set_ylabel("amplitude")
+    ax.legend()
+    if save_path and fig is not None:
+        fig.tight_layout()
+        fig.savefig(save_path, dpi=150)
+    return ax
+
+
 def plot_waveform(
     data: np.ndarray,
     sampling_rate: float = 100.0,
