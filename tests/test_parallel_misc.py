@@ -91,3 +91,16 @@ class TestOptimalModel:
         )
         assert get_optimal_model(df) == 1
         assert get_optimal_model(pd.DataFrame({"x": [1]})) is None
+
+    def test_sidecar_pick_file(self, tmp_path, rng):
+        from volpick_tpu.core.sacio import write_sac
+        from volpick_tpu.core.stream import Trace, UTC
+        from volpick_tpu.acquisition.sac_convert import read_sac_with_sidecar
+
+        tr = Trace(rng.normal(size=100).astype(np.float32),
+                   dict(network="HV", station="SDC", channel="EHZ",
+                        sampling_rate=100.0, starttime=UTC(0)))
+        write_sac(tr, tmp_path / "x.sac")
+        (tmp_path / "x.pick").write_text("start_time: 1999 7 8 9 10 33.25\nsome_other: 1 2\n")
+        got = read_sac_with_sidecar(tmp_path / "x.sac")
+        assert got.stats.starttime.isoformat().startswith("1999-07-08T09:10:33.25")

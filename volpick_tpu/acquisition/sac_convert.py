@@ -21,6 +21,38 @@ from volpick_tpu.core.stream import Stream
 from volpick_tpu.acquisition.download import assemble_subprocess_csvlogs
 
 
+def read_sidecar_info(path: Union[str, Path]) -> Dict[str, list]:
+    """Parse the legacy `key: value ...` sidecar files that accompany HVO SAC
+    archives (reference `volpick/data/data.py:3535-3543`)."""
+    info: Dict[str, list] = {}
+    with open(path) as f:
+        for line in f:
+            key, _, value = line.partition(":")
+            if key.strip():
+                info[key.strip()] = value.strip().split()
+    return info
+
+
+def read_sac_with_sidecar(sac_path: Union[str, Path], t_offset: float = 0.0):
+    """Read a SAC file and override its start time from the sidecar `.pick`
+    file's `start_time: Y M D H M S.s` entry (reference `data.py:3545-3563`)."""
+    from volpick_tpu.core.stream import UTC
+    import datetime as dt
+
+    tr = read_sac(sac_path)
+    sidecar = Path(str(sac_path).replace("sac", "pick"))
+    if sidecar.exists():
+        info = read_sidecar_info(sidecar)
+        st = info.get("start_time")
+        if st and len(st) >= 6:
+            base = dt.datetime(
+                int(st[0]), int(st[1]), int(st[2]), int(st[3]), int(st[4]),
+                tzinfo=dt.timezone.utc,
+            )
+            tr.stats.starttime = UTC(base.timestamp() + float(st[5]) + t_offset)
+    return tr
+
+
 def read_sac_event_folder(folder: Union[str, Path], pattern: str = "*.sac") -> Dict[str, Stream]:
     """Read all SAC files in an event folder, grouped per station id."""
     folder = Path(folder)
