@@ -216,3 +216,108 @@ class TestRotation:
         prim = raw_batch(rng, b=4)
         out = augment_train_batch(jax.random.PRNGKey(1), prim, None, None, None, None, cfg)
         assert np.isfinite(np.asarray(out["X"])).all()
+
+
+class TestSuperimposeMechanics:
+    """Exact verification of the superimpose math: with a placement range of
+    width 1 the random shift is deterministic, so the output is checkable
+    sample-for-sample (the scale is recovered from the zeroed tail)."""
+
+    def test_deterministic_placement(self, rng):
+        from volpick_tpu.pipeline.augmentations import AugmentConfig, stack_block
+        from volpick_tpu.ops.labels import probabilistic_labels
+
+        sep = 200
+        # fee = S + max(1.4*(S-P), sep) + 0.2*sep with P=1000, S=1200 → 1520
+        p1, s1 = 1000.0, 1200.0
+        fee = int(s1 + max(1.4 * (s1 - p1), sep) + 0.2 * sep)
+        n = fee + 2 * sep + 1  # placement range [fee, n-2sep) has width 1
+        cfg = AugmentConfig(
+            window=n, stack=True, sep=sep,
+            p_event_modes=(1.0, 0.0, 0.0), p_two_events=0.0,
+            p_noise_modes=(0.0, 0.0, 1.0),
+        )
+        b = 4
+        x1 = rng.normal(size=(b, 3, n)).astype(np.float32)
+        y1 = np.asarray(probabilistic_labels(
+            jnp.asarray(np.tile([[p1, s1]], (b, 1))), n, sigma=20))
+        op = 500.0  # secondary P position
+        x2 = rng.normal(size=(b, 3, n)).astype(np.float32)
+        y2 = np.asarray(probabilistic_labels(
+            jnp.asarray(np.tile([[op, op + 150.0]], (b, 1))), n, sigma=20))
+        prim = {"X": jnp.asarray(x1), "y": jnp.asarray(y1),
+                "p": jnp.asarray([p1] * b), "s": jnp.asarray([s1] * b)}
+        sec = {"X": jnp.asarray(x2), "y": jnp.asarray(y2)}
+        zero = {"X": jnp.zeros_like(prim["X"]), "y": jnp.zeros_like(prim["y"])}
+        out = stack_block(jax.random.PRNGKey(3), prim, sec, sec,
+                          jnp.zeros((b, 3, n)), jnp.zeros((b, 3, n)), cfg)
+        xo, yo = np.asarray(out["X"]), np.asarray(out["y"])
+
+        shift = fee - int(op)  # deterministic: shifted_pick == fee
+        for i in range(b):
+            # expected secondary: zero before op-sep, then shifted right
+            x2i = x2[i].copy()
+            x2i[:, : int(op) - sep] = 0.0
+            x2s = np.zeros_like(x2i)
+            x2s[:, shift:] = x2i[:, :-shift]
+            # primary tail zeroed at fee
+            x1z = x1[i].copy()
+            x1z[:, fee:] = 0.0
+            # recover scale from a region where the primary is zero
+            probe = slice(fee + 50, fee + 60)
+            ratio = xo[i, 0, probe] / x2s[0, probe]
+            scale = float(np.median(ratio))
+            assert 0.25 - 1e-3 <= scale <= 4.0 + 1e-3, scale
+            np.testing.assert_allclose(xo[i], x1z + scale * x2s, rtol=2e-3, atol=1e-4)
+            # labels: max-merge then method1 renormalization
+            y2s = np.zeros_like(y2[i])
+            y2s[:, shift:] = y2[i][:, :-shift]
+            ym = np.maximum(y1[i], y2s)
+            phases = ym[:2] / np.maximum(1.0, ym[:2].sum(0, keepdims=True))
+            noise = 1.0 - phases.sum(0)
+            np.testing.assert_allclose(yo[i, :2], phases, atol=1e-5)
+            np.testing.assert_allclose(yo[i, 2], noise, atol=1e-5)
+            # the placed secondary P peak sits exactly at fee
+            assert abs(int(np.argmax(yo[i, 0][1300:])) + 1300 - fee) <= 1
+
+    def test_duplicate_mechanics(self, rng):
+        """Duplicate-self: recover the drawn shift from the placed P peak,
+        then verify the waveform/label math sample-for-sample."""
+        from volpick_tpu.pipeline.augmentations import AugmentConfig, stack_block
+        from volpick_tpu.ops.labels import probabilistic_labels
+
+        sep = 200
+        p1, s1 = 1000.0, 1200.0
+        fee = int(s1 + max(1.4 * (s1 - p1), sep) + 0.2 * sep)
+        n = fee + 3 * sep  # feasible (fee < n-2sep); placement in [fee, n-sep)
+        cfg = AugmentConfig(
+            window=n, stack=True, sep=sep,
+            p_event_modes=(0.0, 1.0, 0.0), p_two_events=0.0,
+            p_noise_modes=(0.0, 0.0, 1.0),
+        )
+        b = 3
+        x1 = rng.normal(size=(b, 3, n)).astype(np.float32)
+        y1 = np.asarray(probabilistic_labels(
+            jnp.asarray(np.tile([[p1, s1]], (b, 1))), n, sigma=20))
+        prim = {"X": jnp.asarray(x1), "y": jnp.asarray(y1),
+                "p": jnp.asarray([p1] * b), "s": jnp.asarray([s1] * b)}
+        dummy = {"X": jnp.zeros_like(prim["X"]), "y": jnp.zeros_like(prim["y"])}
+        out = stack_block(jax.random.PRNGKey(11), prim, dummy, dummy,
+                          jnp.zeros((b, 3, n)), jnp.zeros((b, 3, n)), cfg)
+        xo, yo = np.asarray(out["X"]), np.asarray(out["y"])
+        for i in range(b):
+            # placed P peak = argmax of the P label after the original event
+            placed = int(np.argmax(yo[i, 0][1400:])) + 1400
+            assert fee <= placed < n - sep
+            shift = placed - int(p1)
+            # duplicate secondary = pre-zero copy, zeroed before p1 - sep
+            x2i = x1[i].copy()
+            x2i[:, : int(p1) - sep] = 0.0
+            x2s = np.zeros_like(x2i)
+            x2s[:, shift:] = x2i[:, :-shift]
+            x1z = x1[i].copy()
+            x1z[:, fee:] = 0.0
+            probe = slice(placed + 50, placed + 60)
+            scale = float(np.median(xo[i, 0, probe] / x2s[0, probe]))
+            assert 0.25 - 1e-3 <= scale <= 4.0 + 1e-3
+            np.testing.assert_allclose(xo[i], x1z + scale * x2s, rtol=2e-3, atol=1e-4)
