@@ -321,3 +321,32 @@ class TestSuperimposeMechanics:
             scale = float(np.median(xo[i, 0, probe] / x2s[0, probe]))
             assert 0.25 - 1e-3 <= scale <= 4.0 + 1e-3
             np.testing.assert_allclose(xo[i], x1z + scale * x2s, rtol=2e-3, atol=1e-4)
+
+
+class TestLazySource:
+    def test_lazy_matches_preloaded(self, tmp_path, rng):
+        from volpick_tpu.pipeline.generator import RawBatchSource
+
+        make_synthetic_dataset(tmp_path, n_events=10, n_noise=2, n_samples=3000, seed=6)
+        ds = WaveformDataset(tmp_path)
+        pre = RawBatchSource(ds, preload=True)
+        lazy = RawBatchSource(ds, preload=False)
+        assert not lazy.preloaded and pre.preloaded
+        idx = np.array([0, 3, 7])
+        a, b = pre.take(idx), lazy.take(idx)
+        np.testing.assert_allclose(a["x"], b["x"], atol=1e-6)
+        np.testing.assert_array_equal(a["len"], b["len"])
+        np.testing.assert_allclose(a["p"], b["p"], equal_nan=True)
+
+    def test_lazy_generator_trains(self, tmp_path, rng):
+        import jax
+        from volpick_tpu.pipeline.augmentations import AugmentConfig
+        from volpick_tpu.pipeline.generator import RawBatchSource, TrainGenerator
+
+        make_synthetic_dataset(tmp_path / "d", n_events=16, n_noise=4, n_samples=3500, seed=7)
+        ds = WaveformDataset(tmp_path / "d").get_split("train")
+        gen = TrainGenerator(ds, AugmentConfig(window=3001, stack=False), batch_size=4)
+        gen.primary = RawBatchSource(ds, preload=False)  # force lazy
+        batches = list(gen.epoch())
+        assert len(batches) == len(gen)
+        assert np.isfinite(np.asarray(batches[0]["X"])).all()

@@ -51,34 +51,75 @@ def _onset_arrays(metadata, target_rate=None) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class RawBatchSource:
-    """Raw padded trace buffers + onset arrays for random batch draws."""
+    """Raw padded trace buffers + onset arrays for random batch draws.
 
-    def __init__(self, dataset, buffer_len: Optional[int] = None, pad_multiple: int = 512):
+    Small datasets are preloaded into one pinned numpy buffer (the
+    reference's cache="full" behavior); datasets above `preload_limit_bytes`
+    stay on disk and batches are read from the bucketed HDF5 on demand, so
+    VCSEIS-scale data trains without a RAM blowup."""
+
+    def __init__(
+        self,
+        dataset,
+        buffer_len: Optional[int] = None,
+        pad_multiple: int = 512,
+        preload: Optional[bool] = None,
+        preload_limit_bytes: int = 4 << 30,
+    ):
         self.dataset = dataset
         n = len(dataset)
-        waves = [dataset.get_sample(i)[0] for i in range(n)]
-        self.lens = np.array([w.shape[-1] for w in waves], dtype=np.int32)
-        max_len = int(self.lens.max()) if n else pad_multiple
-        if buffer_len is None:
-            buffer_len = int(math.ceil(max_len / pad_multiple) * pad_multiple)
-        self.buffer_len = buffer_len
-        c = waves[0].shape[0] if n else 3
-        self.data = np.zeros((n, c, buffer_len), dtype=np.float32)
-        for i, w in enumerate(waves):
-            self.data[i, :, : min(w.shape[-1], buffer_len)] = w[:, :buffer_len]
-        self.lens = np.minimum(self.lens, buffer_len)
         self.p, self.s = _onset_arrays(dataset.metadata, target_rate=dataset.sampling_rate)
 
+        # probe a few traces for shape bookkeeping
+        probe = [dataset.get_sample(i)[0] for i in range(min(n, 8))]
+        c = probe[0].shape[0] if probe else 3
+        self.n_channels = c
+        probe_max = max((w.shape[-1] for w in probe), default=pad_multiple)
+
+        est_bytes = n * c * probe_max * 4
+        if preload is None:
+            preload = est_bytes <= preload_limit_bytes
+        self.preloaded = preload
+
+        if preload:
+            waves = probe + [dataset.get_sample(i)[0] for i in range(len(probe), n)]
+            self.lens = np.array([w.shape[-1] for w in waves], dtype=np.int32)
+            max_len = int(self.lens.max()) if n else pad_multiple
+            if buffer_len is None:
+                buffer_len = int(math.ceil(max_len / pad_multiple) * pad_multiple)
+            self.buffer_len = buffer_len
+            self.data = np.zeros((n, c, buffer_len), dtype=np.float32)
+            for i, w in enumerate(waves):
+                self.data[i, :, : min(w.shape[-1], buffer_len)] = w[:, :buffer_len]
+            self.lens = np.minimum(self.lens, buffer_len)
+        else:
+            self.data = None
+            if buffer_len is None:
+                buffer_len = int(math.ceil(max(probe_max, 1) / pad_multiple) * pad_multiple)
+            self.buffer_len = buffer_len
+            self.lens = None  # filled per batch
+        self._n = n
+
     def __len__(self):
-        return self.data.shape[0]
+        return self._n
 
     def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return {
-            "x": self.data[idx],
-            "len": self.lens[idx],
-            "p": self.p[idx],
-            "s": self.s[idx],
-        }
+        if self.preloaded:
+            return {
+                "x": self.data[idx],
+                "len": self.lens[idx],
+                "p": self.p[idx],
+                "s": self.s[idx],
+            }
+        b = len(idx)
+        x = np.zeros((b, self.n_channels, self.buffer_len), dtype=np.float32)
+        lens = np.zeros(b, dtype=np.int32)
+        for j, i in enumerate(idx):
+            w = self.dataset.get_sample(int(i))[0]
+            m = min(w.shape[-1], self.buffer_len)
+            x[j, :, :m] = w[:, :m]
+            lens[j] = m
+        return {"x": x, "len": lens, "p": self.p[idx], "s": self.s[idx]}
 
     def random_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
         idx = rng.integers(0, len(self), size=batch_size)
@@ -146,14 +187,34 @@ class TrainGenerator:
             self.key, sub = jax.random.split(self.key)
             return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self.cfg)
 
-        # simple software pipeline: dispatch ahead so host assembly overlaps
-        # device compute (jax dispatch is async)
-        pending = []
-        for i in range(steps):
-            pending.append(make(i))
-            if len(pending) > self.prefetch:
-                yield pending.pop(0)
-        yield from pending
+        # software pipeline: a producer thread assembles host batches (HDF5
+        # reads in lazy mode) and dispatches the on-device augmentation; jax
+        # dispatch is async, so the consumer overlaps with both
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
+        err = []
+
+        def producer():
+            try:
+                for i in range(steps):
+                    q.put(make(i))
+            except Exception as e:  # surface worker failures to the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
 
 def eval_batch(
