@@ -86,7 +86,8 @@ class WaveformDataset:
         chunks_file = path / "chunks"
         if chunks_file.exists():
             with open(chunks_file) as f:
-                return [line.strip() for line in f if line.strip() or line == "\n"] or [""]
+                chunks = [line.strip() for line in f if line.strip()]
+            return chunks or [""]
         if (path / "metadata.csv").exists():
             return [""]
         chunks = []
@@ -103,16 +104,19 @@ class WaveformDataset:
 
     @property
     def data_format(self) -> dict:
-        for chunk in self.chunks:
-            f = self._file(chunk)
-            if "data_format" in f:
-                g = f["data_format"]
-                out = {}
-                for k in g:
-                    v = g[k][()]
-                    out[k] = v.decode() if isinstance(v, bytes) else v
-                return out
-        return {}
+        if getattr(self, "_data_format_cache", None) is None:
+            self._data_format_cache = {}
+            for chunk in self.chunks:
+                f = self._file(chunk)
+                if "data_format" in f:
+                    g = f["data_format"]
+                    out = {}
+                    for k in g:
+                        v = g[k][()]
+                        out[k] = v.decode() if isinstance(v, bytes) else v
+                    self._data_format_cache = out
+                    break
+        return self._data_format_cache
 
     # ------------------------------------------------------------------ access
     def __len__(self):
@@ -195,10 +199,15 @@ class WaveformDataset:
         comp_order = fmt.get("component_order", "ZNE")
         if dim_order == "WC":
             data = data.T
-        # reorder components
+        # reorder components; components absent from the stored order come
+        # out zero-filled (SeisBench padding semantics), keeping the channel
+        # count equal to len(self.component_order)
         if comp_order != self.component_order and data.shape[0] == len(comp_order):
-            sel = [comp_order.index(c) for c in self.component_order if c in comp_order]
-            data = data[sel]
+            out = np.zeros((len(self.component_order), data.shape[-1]), dtype=data.dtype)
+            for i, c in enumerate(self.component_order):
+                if c in comp_order:
+                    out[i] = data[comp_order.index(c)]
+            data = out
         # resample if needed
         sr = float(row.get("trace_sampling_rate_hz", self.sampling_rate or 100.0))
         if self.sampling_rate and abs(sr - self.sampling_rate) > 1e-6:

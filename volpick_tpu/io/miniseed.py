@@ -129,6 +129,11 @@ def write_mseed(stream: Stream, path: Union[str, Path], encoding: str = "float32
             n = min(per_record, len(data) - pos)
             t = (tr.stats.starttime + pos / sr).datetime
             frac = int(round(t.microsecond / 100.0))
+            if frac >= 10000:  # carry into the seconds field (BTIME range 0-9999)
+                import datetime as _dtmod
+
+                t = t + _dtmod.timedelta(microseconds=1_000_000 - t.microsecond)
+                frac = 0
             rec = bytearray(reclen)
             rec[0:6] = f"{seq:06d}".encode()
             rec[6:8] = b"D "

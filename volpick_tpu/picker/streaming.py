@@ -46,6 +46,7 @@ class StreamingPicker:
         self._buf: Dict[str, np.ndarray] = {}
         self._t0: Dict[str, float] = {}  # absolute time of buffer sample 0
         self._emitted_until: Dict[str, float] = {}  # absolute time bound of released picks
+        self._processed_n: Dict[str, int] = {}  # buffer length at last processing
 
     def _station_key(self, tr: Trace) -> str:
         chan = tr.stats.channel
@@ -74,22 +75,31 @@ class StreamingPicker:
             grown = np.zeros((n_comp, end), dtype=np.float32)
             grown[:, : buf.shape[1]] = buf
             buf = grown
-        if off >= 0:
-            buf[ci, off:end] = np.asarray(trace.data, dtype=np.float32)
+        data = np.asarray(trace.data, dtype=np.float32)
+        if off < 0:
+            # late packet overlapping the buffer origin: keep the in-buffer part
+            data = data[-off:]
+            off = 0
+        if len(data):
+            buf[ci, off : off + len(data)] = data
         self._buf[key] = buf
         return self._maybe_process(key)
 
     def _maybe_process(self, key: str, final: bool = False) -> PickList:
         buf = self._buf[key]
         n = buf.shape[1]
-        if n < self.window:
+        if n == 0 or (not final and n < self.window):
             return PickList()
-        # release bound: picks whose trigger off-time is before the live edge
-        # minus (right blinding + one stride) cannot change with more data
-        guard = 0 if final else (self.blinding[1] + (self.window - self.overlap))
+        # Release bound: a stacked-curve sample at position p is final once
+        # every window that can cover it (grid starts in (p-window, p]) ends
+        # within the current data, i.e. p < n - window. Padded tail windows
+        # (start > n - window) only cover positions >= their start > p, so
+        # released positions are untouched by future data.
+        guard = 0 if final else self.window
         release_time = self._t0[key] + (n - guard) / self.sr
-        if not final and (n < self.window + self.hop):
+        if not final and (n - self._processed_n.get(key, 0)) < self.hop:
             return PickList()
+        self._processed_n[key] = n
 
         results = self.picker.classify_arrays(
             buf[None],
@@ -108,7 +118,9 @@ class StreamingPicker:
                 if on[0, j] >= n:
                     continue
                 peak_t = t0 + pk[0, j] / self.sr
-                if peak_t <= self._emitted_until[key] or peak_t >= release_time:
+                # emit iff emitted_until <= peak < release (half-open ranges
+                # chain without gaps or duplicates across passes)
+                if peak_t < self._emitted_until[key] or peak_t >= release_time:
                     continue
                 out.append(
                     Pick(
@@ -122,12 +134,18 @@ class StreamingPicker:
                 )
         self._emitted_until[key] = max(self._emitted_until[key], release_time)
 
-        # drop history we no longer need (keep window + guard samples)
+        # drop history we no longer need, in stride multiples so the window
+        # grid stays anchored to the same absolute sample phase as offline
+        # classify() (an arbitrary drop would re-anchor the grid and change
+        # post-trim curves)
+        stride = self.window - self.overlap
         keep = self.window + guard + self.hop
         if n > keep:
-            drop = n - keep
-            self._buf[key] = buf[:, drop:]
-            self._t0[key] = t0 + drop / self.sr
+            drop = ((n - keep) // stride) * stride
+            if drop > 0:
+                self._buf[key] = buf[:, drop:]
+                self._t0[key] = t0 + drop / self.sr
+                self._processed_n[key] = max(self._processed_n.get(key, 0) - drop, 0)
         out.sort()
         return out
 
