@@ -22,3 +22,58 @@ def test_matches_jnp_reference(rng, detrend, norm):
 def test_tile_mismatch_raises(rng):
     with pytest.raises(ValueError):
         condition_windows_pallas(jnp.zeros((6, 3, 128)), tile=4, interpret=True)
+
+
+class TestResCNNKernel:
+    def _reference(self, params, x):
+        """jnp reference: the model's res-CNN section in eval mode."""
+        import jax
+        from volpick_tpu.models.layers import batch_norm, conv1d_same
+
+        h = x
+        for block in params:
+            y, _ = batch_norm(h, block["norm1"], eps=1e-3)
+            y = jax.nn.relu(y)
+            y = conv1d_same(y, block["conv1"]["w"], block["conv1"]["b"])
+            y, _ = batch_norm(y, block["norm2"], eps=1e-3)
+            y = jax.nn.relu(y)
+            y = conv1d_same(y, block["conv2"]["w"], block["conv2"]["b"])
+            h = h + y
+        return h
+
+    def test_matches_model_rescnn(self, rng):
+        import jax
+        from volpick_tpu.models import EQTransformer
+        from volpick_tpu.ops.pallas.rescnn import fold_res_cnn_params, res_cnn_stack_pallas
+
+        model = EQTransformer()
+        params = model.init(jax.random.PRNGKey(2))["res_cnn"]
+        # randomize BN stats so folding is actually exercised
+        for b in params:
+            for nk in ("norm1", "norm2"):
+                b[nk]["mean"] = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)
+                b[nk]["var"] = jnp.asarray((rng.random(64).astype(np.float32) * 2 + 0.5))
+                b[nk]["scale"] = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.5 + 1)
+                b[nk]["bias"] = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.normal(size=(16, 64, 47)), dtype=jnp.float32)
+        ref = np.asarray(self._reference(params, x))
+        packed = fold_res_cnn_params(params)
+        got = np.asarray(res_cnn_stack_pallas(x, packed, tile=16, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=3e-4)
+
+    def test_published_weights(self, rng):
+        import os
+        import pytest as _pytest
+
+        pt = "/root/reference/Final_models/volpick/eqtransformer/volpick.pt.v1"
+        if not os.path.exists(pt):
+            _pytest.skip("published weights unavailable")
+        import jax
+        from volpick_tpu.models.torch_import import import_eqtransformer
+        from volpick_tpu.ops.pallas.rescnn import fold_res_cnn_params, res_cnn_stack_pallas
+
+        params = jax.tree_util.tree_map(jnp.asarray, import_eqtransformer(pt))["res_cnn"]
+        x = jnp.asarray(rng.normal(size=(8, 64, 47)), dtype=jnp.float32)
+        ref = np.asarray(self._reference(params, x))
+        got = np.asarray(res_cnn_stack_pallas(x, fold_res_cnn_params(params), tile=8, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=3e-4)

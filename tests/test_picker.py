@@ -165,3 +165,31 @@ class TestPrecision:
         model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
         with pytest.raises(ValueError):
             WaveformPicker(model, params, precision="fp8")
+
+
+@needs_weights
+class TestSegmentedClassify:
+    def test_segmented_matches_single_pass(self, rng):
+        """Long-stream segmentation must reproduce the single-pass picks."""
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        picker = WaveformPicker(model, params)
+        sr, n = 100.0, 60000  # 10 minutes
+        t = np.arange(n) / sr
+        data = rng.normal(size=(1, 3, n)).astype(np.float32) * 0.05
+        for p_at in (50.0, 200.0, 310.0, 455.0, 590.0):
+            env = np.where(t >= p_at, np.exp(-(t - p_at) / 1.5), 0.0)
+            data[0, 0] += np.sin(2 * np.pi * 8 * t) * env * 2
+            env_s = np.where(t >= p_at + 3, np.exp(-(t - p_at - 3) / 2.5), 0.0)
+            data[0, 1] += np.sin(2 * np.pi * 4 * t) * env_s * 3
+            data[0, 2] += np.sin(2 * np.pi * 4 * t) * env_s * 2.6
+        thr = {"P": 0.39, "S": 0.34, "N": 2.0}
+        full = picker.classify_arrays(data, thr, overlap=1500, blinding=(250, 250))
+        seg = picker.classify_arrays(data, thr, overlap=1500, blinding=(250, 250),
+                                     max_span=20000)  # forces ~4 segments
+        for label in ("P", "S"):
+            f_pk = np.sort(full[label][0][0][full[label][2][0]])
+            s_pk = np.sort(seg[label][0][0][seg[label][2][0]])
+            np.testing.assert_array_equal(f_pk, s_pk)

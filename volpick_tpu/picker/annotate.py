@@ -219,17 +219,56 @@ class WaveformPicker:
         stacking: str = "avg",
         batch_size: int = 256,
         max_picks: Optional[int] = None,
+        max_span: int = 1_500_000,
     ) -> Dict[str, tuple]:
         """Fused device classify on a station batch (S, C, W_total).
 
         Returns {label: (peak_idx, peak_val, valid, on_idx, off_idx)} numpy
-        arrays, each (S, max_picks). Used by classify(); also the public
-        array-level API for production serving loops."""
+        arrays, each (S, n_picks). Used by classify(); also the public
+        array-level API for production serving loops.
+
+        Streams longer than `max_span` samples are processed as overlapping
+        stride-aligned segments and stitched exactly: each segment includes a
+        full window of lookahead/lookbehind context, and a pick is owned by
+        the segment whose core region contains its peak — the same
+        finality argument as the streaming picker, so results match a single
+        full-stream pass while bounding device memory and compile size
+        (a day of 100 Hz data is ~8.6M samples)."""
         s, c, total = data.shape
         window = self.in_samples
         if overlap is None:
             overlap = window // 2
         stride = window - overlap
+        if total > max_span:
+            ctx = (-(-window // stride)) * stride  # window rounded up to grid
+            core = max(((max_span - 2 * ctx) // stride) * stride, stride)
+            merged: Dict[str, list] = {}
+            seg_start = 0
+            while seg_start < total:
+                own_lo = seg_start
+                own_hi = min(seg_start + core, total)
+                g_lo = max(seg_start - ctx, 0)
+                g_hi = min(own_hi + ctx, total)
+                res = self.classify_arrays(
+                    data[..., g_lo:g_hi],
+                    thresholds,
+                    overlap=overlap,
+                    blinding=blinding,
+                    stacking=stacking,
+                    batch_size=batch_size,
+                    max_picks=max_picks,
+                    max_span=2**62,
+                )
+                for label, (pk, val, valid, on, off) in res.items():
+                    own = valid & (pk + g_lo >= own_lo) & (pk + g_lo < own_hi)
+                    merged.setdefault(label, []).append(
+                        (pk + g_lo, val, own, on + g_lo, off + g_lo)
+                    )
+                seg_start = own_hi
+            return {
+                label: tuple(np.concatenate([seg[i] for seg in segs], axis=1) for i in range(5))
+                for label, segs in merged.items()
+            }
         # pad so windows tile uniformly (enables scatter-free stacking);
         # picks in the padded tail are dropped by the caller
         if total <= window:
