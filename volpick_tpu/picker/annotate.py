@@ -219,7 +219,7 @@ class WaveformPicker:
         stacking: str = "avg",
         batch_size: int = 256,
         max_picks: Optional[int] = None,
-        max_span: int = 1_500_000,
+        max_span: int = 500_000,
     ) -> Dict[str, tuple]:
         """Fused device classify on a station batch (S, C, W_total).
 
@@ -227,8 +227,9 @@ class WaveformPicker:
         arrays, each (S, n_picks). Used by classify(); also the public
         array-level API for production serving loops.
 
-        Streams longer than `max_span` samples are processed as overlapping
-        stride-aligned segments and stitched exactly: each segment includes a
+        Streams longer than `max_span` samples (default ~83 min at 100 Hz;
+        all segments share one shape so the program compiles once) are
+        processed as overlapping stride-aligned segments and stitched exactly: each segment includes a
         full window of lookahead/lookbehind context, and a pick is owned by
         the segment whose core region contains its peak — the same
         finality argument as the streaming picker, so results match a single
