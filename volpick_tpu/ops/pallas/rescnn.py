@@ -12,6 +12,13 @@ kernel keeps the activation tile in VMEM across all 7 blocks:
 - one HBM read + write of the tile total, versus ~28 in the unfused path.
 
 Used in eval/classify mode only (training needs batch statistics).
+
+Status: numerically verified against the model's res-CNN section (interpreter
+mode, including the published weights). Not wired into the default classify
+path: in the current axon environment the Mosaic compile of the 42-matmul
+unrolled body via the remote-compile service exceeds practical time budgets,
+and the XLA path is already a small fraction of the 4 ms/batch forward. Kept
+as the optimization seed for local-TPU deployments where compile is cheap.
 """
 
 from __future__ import annotations
@@ -74,8 +81,10 @@ def fold_res_cnn_params(res_cnn_params: List[Dict]) -> Dict[str, jnp.ndarray]:
 
 
 def _kernel(x_ref, w1_ref, w2_ref, cb1_ref, cb2_ref, g1_ref, b1_ref, g2_ref, b2_ref, o_ref, *, nb: int):
-    # x: (TB, C, T) → work in (TB, T, C) so channel contractions hit the MXU
-    x = x_ref[:].transpose(0, 2, 1)
+    # x arrives time-major (TB, T, C): channel contractions are plain 2D
+    # matmuls after merging the leading dims (free reshape), no in-kernel
+    # relayouts
+    x = x_ref[:]
     tb, t, c = x.shape
 
     def conv3(y, w_taps, bias):
@@ -94,7 +103,7 @@ def _kernel(x_ref, w1_ref, w2_ref, cb1_ref, cb2_ref, g1_ref, b1_ref, g2_ref, b2_
         y = conv3(y, w2_ref[j], cb2_ref[j])
         x = x + y
 
-    o_ref[:] = x.transpose(0, 2, 1)
+    o_ref[:] = x
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -113,21 +122,22 @@ def res_cnn_stack_pallas(
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     bp = x.shape[0]
+    x_tm = x.transpose(0, 2, 1)  # time-major once, outside the kernel
     kernel = functools.partial(_kernel, nb=nb)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bp, c, t), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, t, c), x.dtype),
         grid=(bp // tile,),
         in_specs=[
-            pl.BlockSpec((tile, c, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
-        out_specs=pl.BlockSpec((tile, c, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
-        x,
+        x_tm,
         packed["w1"], packed["w2"], packed["cb1"], packed["cb2"],
         packed["g1"], packed["b1"], packed["g2"], packed["b2"],
     )
-    return out[:b]
+    return out[:b].transpose(0, 2, 1)
