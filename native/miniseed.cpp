@@ -137,48 +137,83 @@ double rate_from_factors(int f, int m) {
     return r;
 }
 
+// Parsed fixed-header + blockette-1000 fields, shared by both passes so the
+// scan and decode passes always agree on record boundaries. All reads are
+// bounds-checked against `avail` (bytes remaining in the buffer) — the input
+// is untrusted file content arriving via ctypes.
+struct Header {
+    bool ok;            // plausible record header
+    bool big;           // header byte order
+    bool data_big;      // data byte order (blockette 1000)
+    int encoding;
+    int reclen;         // validated: power of two in [128, 65536]
+    uint16_t nsamp;
+    uint16_t data_off;  // 0 if the record carries no decodable data section
+};
+
+Header parse_header(const uint8_t* rec, int64_t avail) {
+    Header h = {};
+    h.ok = false;
+    char q = (char)rec[6];
+    if (!(q == 'D' || q == 'R' || q == 'Q' || q == 'M')) return h;
+    // assume big-endian header first; verify year sanity to pick byte order
+    h.big = true;
+    {
+        uint16_t yr = rd_u16(rec + 20, true);
+        if (yr < 1900 || yr > 2500) h.big = false;
+    }
+    h.nsamp = rd_u16(rec + 30, h.big);
+    h.data_off = rd_u16(rec + 44, h.big);
+    uint16_t bkt_off = rd_u16(rec + 46, h.big);
+    int nbkt = rec[39];
+    h.encoding = 11;
+    h.data_big = h.big;
+    h.reclen = 0;
+    uint16_t off = bkt_off;
+    // blockette walk: every read below touches rec[off .. off+7], so require
+    // the full 8 bytes in-buffer (blockette 1000 is 8 bytes long)
+    for (int b = 0; b < nbkt && off >= 48 && (int64_t)off + 8 <= avail; ++b) {
+        uint16_t btype = rd_u16(rec + off, h.big);
+        uint16_t next = rd_u16(rec + off + 2, h.big);
+        if (btype == 1000) {
+            h.encoding = rec[off + 4];
+            h.data_big = rec[off + 5] != 0;
+            int exp = rec[off + 6];
+            if (exp < 7 || exp > 16) return h;  // corrupt length → reject record
+            h.reclen = 1 << exp;
+            break;
+        }
+        if (next == 0 || next <= off) break;
+        off = next;
+    }
+    if (h.reclen == 0) h.reclen = 512;  // common default when no blockette 1000
+    // data section must start after the fixed header and inside the record;
+    // a record with no data (data_off == 0) is legal (headers-only)
+    if (h.data_off != 0 && (h.data_off < 48 || h.data_off >= h.reclen)) {
+        h.data_off = 0;  // unusable data section: keep the record, decode nothing
+    }
+    h.ok = true;
+    return h;
+}
+
 }  // namespace
 
 extern "C" {
 
-// First pass: count records and total samples. Returns 0 on success.
+// First pass: count records and total samples. Returns 0 on success (at least
+// one plausible record); parsing stops at the first corrupt record.
 int msd_scan(const uint8_t* buf, int64_t len, int32_t* n_records, int64_t* total_samples) {
     *n_records = 0;
     *total_samples = 0;
     int64_t pos = 0;
     while (pos + 48 <= len) {
-        const uint8_t* rec = buf + pos;
-        // data header/quality indicator
-        char q = (char)rec[6];
-        if (!(q == 'D' || q == 'R' || q == 'Q' || q == 'M')) return -1;
-        // find blockette 1000 for record length (assume big-endian header
-        // first; verify year sanity to pick byte order)
-        bool big = true;
-        {
-            uint16_t yr = rd_u16(rec + 20, true);
-            if (yr < 1900 || yr > 2500) big = false;
-        }
-        int reclen = 0;
-        uint16_t nsamp = rd_u16(rec + 30, big);
-        uint16_t bkt_off = rd_u16(rec + 46, big);
-        int nbkt = rec[39];
-        uint16_t off = bkt_off;
-        for (int b = 0; b < nbkt && off >= 48 && off + 4 <= len - pos; ++b) {
-            uint16_t btype = rd_u16(rec + off, big);
-            uint16_t next = rd_u16(rec + off + 2, big);
-            if (btype == 1000) {
-                reclen = 1 << rec[off + 6];
-                break;
-            }
-            if (next == 0 || next <= off) break;
-            off = next;
-        }
-        if (reclen == 0) reclen = 512;  // common default
+        Header h = parse_header(buf + pos, len - pos);
+        if (!h.ok) break;
         *n_records += 1;
-        *total_samples += nsamp;
-        pos += reclen;
+        *total_samples += h.nsamp;
+        pos += h.reclen;
     }
-    return 0;
+    return *n_records > 0 ? 0 : -1;
 }
 
 // Second pass: decode all records. `samples` must hold total_samples doubles,
@@ -189,36 +224,16 @@ int msd_decode(const uint8_t* buf, int64_t len, double* samples, RecordInfo* inf
     int nrec = 0;
     while (pos + 48 <= len) {
         const uint8_t* rec = buf + pos;
-        char q = (char)rec[6];
-        if (!(q == 'D' || q == 'R' || q == 'Q' || q == 'M')) break;
-        bool big = true;
-        {
-            uint16_t yr = rd_u16(rec + 20, true);
-            if (yr < 1900 || yr > 2500) big = false;
-        }
-        uint16_t nsamp = rd_u16(rec + 30, big);
+        Header h = parse_header(rec, len - pos);
+        if (!h.ok) break;
+        bool big = h.big;
+        uint16_t nsamp = h.nsamp;
         int16_t rf = rd_i16(rec + 32, big);
         int16_t rm = rd_i16(rec + 34, big);
-        uint16_t data_off = rd_u16(rec + 44, big);
-        uint16_t bkt_off = rd_u16(rec + 46, big);
-        int nbkt = rec[39];
-
-        int reclen = 0;
-        int encoding = 11;
-        bool data_big = big;
-        uint16_t off = bkt_off;
-        for (int b = 0; b < nbkt && off >= 48 && off + 8 <= len - pos; ++b) {
-            uint16_t btype = rd_u16(rec + off, big);
-            uint16_t next = rd_u16(rec + off + 2, big);
-            if (btype == 1000) {
-                encoding = rec[off + 4];
-                data_big = rec[off + 5] != 0;
-                reclen = 1 << rec[off + 6];
-            }
-            if (next == 0 || next <= off) break;
-            off = next;
-        }
-        if (reclen == 0) reclen = 512;
+        uint16_t data_off = h.data_off;
+        int reclen = h.reclen;
+        int encoding = h.encoding;
+        bool data_big = h.data_big;
 
         RecordInfo* info = &infos[nrec];
         std::memcpy(info->station, rec + 8, 5); info->station[5] = 0;
@@ -231,10 +246,15 @@ int msd_decode(const uint8_t* buf, int64_t len, double* samples, RecordInfo* inf
         info->sampling_rate = rate_from_factors(rf, rm);
         info->offset = sample_off;
 
+        // clamp the data section to what is actually in the buffer: a
+        // truncated final record must not read past `len`
+        int64_t rec_avail = len - pos;
+        int64_t rec_end = reclen < rec_avail ? reclen : rec_avail;
         const uint8_t* data = rec + data_off;
-        int nbytes = reclen - data_off;
+        int nbytes = data_off != 0 && rec_end > data_off ? (int)(rec_end - data_off) : 0;
         int produced = 0;
         double* out = samples + sample_off;
+        if (nbytes == 0) encoding = -1;  // no decodable payload
         switch (encoding) {
             case 1:  // int16
                 for (int i = 0; i < nsamp && 2 * i + 2 <= nbytes; ++i)

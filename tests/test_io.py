@@ -143,6 +143,58 @@ class TestMiniSEED:
         st = read_mseed(tmp_path / "s2.mseed")
         np.testing.assert_array_equal(st[0].data, samples)
 
+    def test_truncated_record_is_clamped(self, tmp_path, rng):
+        """A final record cut mid-data must not over-read (decoded short)."""
+        from volpick_tpu.io.miniseed import read_mseed, write_mseed
+
+        data = rng.normal(size=2000).astype(np.float32)
+        tr = Trace(data, dict(network="XX", station="TRC", channel="BHZ",
+                              sampling_rate=100.0, starttime=UTC(0)))
+        write_mseed(Stream([tr]), tmp_path / "t.mseed")
+        raw = (tmp_path / "t.mseed").read_bytes()
+        # cut the last record in half (write_mseed uses 4096-byte records)
+        (tmp_path / "cut.mseed").write_bytes(raw[: len(raw) - 2048])
+        st = read_mseed(tmp_path / "cut.mseed")
+        got = np.concatenate([t.data for t in st])
+        assert 0 < len(got) < 2000
+        np.testing.assert_allclose(got, data[: len(got)].astype(np.float64), rtol=1e-6)
+
+    def test_corrupt_reclen_exponent_rejected(self, tmp_path):
+        """Blockette-1000 length exponent outside [7,16] → record rejected."""
+        from volpick_tpu.io.miniseed import read_mseed
+
+        rec = _fixed_header(10, 9, 4)
+        rec[54] = 31  # reclen exponent 2**31: file-controlled UB in the old code
+        (tmp_path / "bad.mseed").write_bytes(bytes(rec))
+        with pytest.raises(ValueError):
+            read_mseed(tmp_path / "bad.mseed")
+
+    def test_data_offset_out_of_range(self, tmp_path):
+        """data_off past the record end must decode to an empty record."""
+        from volpick_tpu.io.miniseed import read_mseed
+
+        rec = _fixed_header(10, 9, 4)
+        rec[44:46] = struct.pack(">H", 600)  # beyond the 512-byte record
+        (tmp_path / "off.mseed").write_bytes(bytes(rec))
+        st = read_mseed(tmp_path / "off.mseed")
+        assert sum(t.stats.npts for t in st) == 0
+
+    def test_fuzz_garbage_does_not_crash(self, tmp_path, rng):
+        """Random bytes through the native decoder: error or empty, no crash."""
+        from volpick_tpu.io.miniseed import read_mseed
+
+        for seed in range(20):
+            r = np.random.default_rng(seed)
+            buf = r.integers(0, 256, size=4096, dtype=np.uint8).tobytes()
+            # make some look header-plausible to get past the quality check
+            if seed % 2:
+                buf = b"000001D " + buf[8:]
+            (tmp_path / "f.mseed").write_bytes(buf)
+            try:
+                read_mseed(tmp_path / "f.mseed")
+            except ValueError:
+                pass
+
     def test_multi_record_merge(self, tmp_path, rng):
         from volpick_tpu.io.miniseed import read_mseed, write_mseed
 

@@ -14,6 +14,7 @@ import math
 from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 
 from volpick_tpu.pipeline.augmentations import AugmentConfig, augment_train_batch
 
@@ -95,21 +96,61 @@ class RawBatchSource:
         else:
             self.data = None
             if buffer_len is None:
-                buffer_len = int(math.ceil(max(probe_max, 1) / pad_multiple) * pad_multiple)
+                # size the buffer from metadata, not the 8-trace probe: a
+                # longer trace later in the table would otherwise be silently
+                # truncated while its onsets point past the buffered data
+                meta_max = self._max_len_from_metadata(dataset)
+                buffer_len = int(
+                    math.ceil(max(probe_max, meta_max, 1) / pad_multiple) * pad_multiple
+                )
             self.buffer_len = buffer_len
             self.lens = None  # filled per batch
         self._n = n
 
+    @staticmethod
+    def _max_len_from_metadata(dataset) -> int:
+        """Upper bound on trace length at the dataset sampling rate.
+
+        Uses `trace_npts` when present; falls back to the `:W` slice in
+        SeisBench bucket references ("bucket0$3,:3,:6000"). Lengths stored at
+        a different trace_sampling_rate_hz are rescaled to the target rate
+        (matching get_sample's waveform rescaling)."""
+        md = dataset.metadata
+        n = len(md)
+        lens = np.zeros(n, dtype=np.float64)
+        if "trace_npts" in md.columns:
+            vals = np.asarray(pd.to_numeric(md["trace_npts"], errors="coerce"))
+            lens = np.where(np.isnan(vals), 0.0, vals)
+        else:
+            names = md.get("trace_name")
+            if names is not None:
+                spec = names.astype(str).str.extract(r",:(\d+)$")[0]
+                vals = np.asarray(pd.to_numeric(spec, errors="coerce"))
+                lens = np.where(np.isnan(vals), 0.0, vals)
+        target = getattr(dataset, "sampling_rate", None)
+        if target and "trace_sampling_rate_hz" in md.columns:
+            sr = np.asarray(pd.to_numeric(md["trace_sampling_rate_hz"], errors="coerce"))
+            scale = np.where(np.isnan(sr) | (sr <= 0), 1.0, float(target) / sr)
+            lens = lens * scale
+        return int(math.ceil(lens.max())) if n else 0
+
     def __len__(self):
         return self._n
 
+    @staticmethod
+    def _mask_onsets_beyond(onsets: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """NaN out onsets that fall past the buffered data (truncated traces
+        must not paint labels over zeroed waveform)."""
+        return np.where(onsets >= lens.astype(np.float32), np.nan, onsets)
+
     def take(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         if self.preloaded:
+            lens = self.lens[idx]
             return {
                 "x": self.data[idx],
-                "len": self.lens[idx],
-                "p": self.p[idx],
-                "s": self.s[idx],
+                "len": lens,
+                "p": self._mask_onsets_beyond(self.p[idx], lens),
+                "s": self._mask_onsets_beyond(self.s[idx], lens),
             }
         b = len(idx)
         x = np.zeros((b, self.n_channels, self.buffer_len), dtype=np.float32)
@@ -119,7 +160,12 @@ class RawBatchSource:
             m = min(w.shape[-1], self.buffer_len)
             x[j, :, :m] = w[:, :m]
             lens[j] = m
-        return {"x": x, "len": lens, "p": self.p[idx], "s": self.s[idx]}
+        return {
+            "x": x,
+            "len": lens,
+            "p": self._mask_onsets_beyond(self.p[idx], lens),
+            "s": self._mask_onsets_beyond(self.s[idx], lens),
+        }
 
     def random_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
         idx = rng.integers(0, len(self), size=batch_size)
@@ -215,6 +261,53 @@ class TrainGenerator:
         t.join()
         if err:
             raise err[0]
+
+
+def steered_frames(x, w0, window: int, detrend: bool = False, norm: str = "peak"):
+    """Device-side steered framing + conditioning (pure JAX).
+
+    x: (B, C, L) raw zero-padded trace buffers; w0: (B,) window starts
+    (already clipped into the trace, SteeredWindow strategy="pad" semantics —
+    `steered_window_offsets` computes them). Returns conditioned (B, C,
+    window) frames. Call INSIDE the eval forward jit so framing, demean/
+    detrend, per-channel normalization and the model forward fuse into one
+    XLA program — this replaces the per-trace numpy loop of `eval_batch`
+    (the reference's SteeredWindow + Normalize CPU augmentations,
+    `volpick/model/models.py:445-452`) on the hot path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.ops.signal import demean, detrend_linear, normalize_amplitude
+
+    b, c, l = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (window, window)))
+
+    def one(a, s):
+        return jax.lax.dynamic_slice(a, (0, s + window), (c, window))
+
+    frames = jax.vmap(one)(xp, w0.astype(jnp.int32))
+    frames = detrend_linear(frames) if detrend else demean(frames)
+    return normalize_amplitude(frames, norm=norm, per_channel=True)
+
+
+def steered_window_offsets(
+    lens: np.ndarray, start_samples: np.ndarray, end_samples: np.ndarray, window: int
+):
+    """Vectorized SteeredWindow placement over a batch of traces.
+
+    Same math as `ops.windows.steered_window_indices` but with per-trace
+    lengths: center the [start, end) region, clip the window into the trace,
+    zero-pad when the trace is shorter than the window. Returns
+    (w0 (B,), borders (B, 2))."""
+    ss = np.asarray(start_samples, dtype=np.int64)
+    es = np.asarray(end_samples, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    region = es - ss
+    w0 = ss - (window - region) // 2
+    w0 = np.clip(w0, 0, np.maximum(lens - window, 0))
+    border_lo = ss - w0
+    return w0, np.stack([border_lo, border_lo + region], axis=1)
 
 
 def eval_batch(

@@ -133,16 +133,51 @@ def _jsonable(obj):
     return obj
 
 
+def _ckpt_epoch_step(path: Path):
+    import re
+
+    m = re.match(r"epoch=(\d+)-step=(\d+)$", path.stem)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def find_best_checkpoint(experiment_dir, monitor: str = "val_loss", prefer_ema: bool = True):
     """Scan metrics.csv for the min monitored loss and return the matching
-    checkpoint path (reference `volpick/model/utils.py:190-231`)."""
+    checkpoint path (reference `volpick/model/utils.py:190-231`).
+
+    If metrics.csv is absent or no logged (epoch, step) matches a kept
+    checkpoint, falls back to the numerically latest `epoch=*-step=*.ckpt`
+    (CheckpointManager keeps save_top_k=1, so the one kept checkpoint IS the
+    best one), then to `last.ckpt`."""
     experiment_dir = Path(experiment_dir)
-    ckpts = sorted(experiment_dir.glob("checkpoints/epoch=*-step=*.ckpt"))
-    ckpts = [c for c in ckpts if not c.stem.endswith("-EMA")]
+    ckpts = [
+        c
+        for c in experiment_dir.glob("checkpoints/epoch=*-step=*.ckpt")
+        if not c.stem.endswith("-EMA") and _ckpt_epoch_step(c) is not None
+    ]
     if not ckpts:
         last = experiment_dir / "checkpoints" / "last.ckpt"
         return last if last.exists() else None
-    best = ckpts[-1]
+
+    best = None
+    metrics_path = experiment_dir / "metrics.csv"
+    if metrics_path.exists():
+        by_key = {_ckpt_epoch_step(c): c for c in ckpts}
+        best_val = math.inf
+        with open(metrics_path) as f:
+            for row in csv.DictReader(f):
+                raw = row.get(monitor)
+                if raw in (None, ""):
+                    continue
+                try:
+                    val = float(raw)
+                    key = (int(float(row.get("epoch", "nan"))), int(float(row.get("step", "nan"))))
+                except (TypeError, ValueError):
+                    continue
+                if not math.isnan(val) and val < best_val and key in by_key:
+                    best_val = val
+                    best = by_key[key]
+    if best is None:
+        best = max(ckpts, key=_ckpt_epoch_step)  # numeric, not lexicographic
     if prefer_ema:
         ema = best.with_name(best.stem + "-EMA.ckpt")
         if ema.exists():
