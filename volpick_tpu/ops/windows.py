@@ -107,7 +107,8 @@ def overlap_stack_uniform(
     stride: int,
     blinding: Tuple[int, int] = (0, 0),
     stacking: str = "avg",
-) -> jnp.ndarray:
+    return_sums: bool = False,
+):
     """Scatter-free overlap stacking for uniformly strided windows.
 
     With m = ceil(window/stride), window j covers output blocks [j, j+m), so
@@ -117,6 +118,12 @@ def overlap_stack_uniform(
     exact. Output length is (n+m-1)·stride ≥ (N-1)·stride + window; callers
     trim to their stream length. ~an order of magnitude faster than the
     scatter form on TPU for day-long streams.
+
+    With ``return_sums=True`` the "avg" division is deferred: returns
+    ``(acc (K, L), weights (L,))`` — for "avg" the blinding-masked sum and
+    per-sample contribution count, for "max" the running max (weights still
+    the counts). This lets callers compose extra non-uniform windows (e.g.
+    the SeisBench final flush window) before normalizing.
     """
     n, k, window = preds.shape
     if stride < 1:
@@ -132,20 +139,25 @@ def overlap_stack_uniform(
     w_mask = jnp.zeros((m * stride,), dtype=preds.dtype).at[l : window - r].set(1.0)
     w_mask = w_mask.reshape(m, stride)
 
+    wgt = jnp.zeros((total_blocks, 1, stride), dtype=preds.dtype)
+    for i in range(m):
+        wgt = wgt.at[i : i + n].add(w_mask[i][None, None, :])
     if stacking == "avg":
         out = jnp.zeros((total_blocks, k, stride), dtype=preds.dtype)
-        wgt = jnp.zeros((total_blocks, 1, stride), dtype=preds.dtype)
         for i in range(m):
             out = out.at[i : i + n].add(a[:, :, i] * w_mask[i])
-            wgt = wgt.at[i : i + n].add(w_mask[i][None, None, :])
-        out = out / jnp.maximum(wgt, 1.0)
+        if not return_sums:
+            out = out / jnp.maximum(wgt, 1.0)
     elif stacking == "max":
         out = jnp.zeros((total_blocks, k, stride), dtype=preds.dtype)
         for i in range(m):
             out = out.at[i : i + n].max(a[:, :, i] * w_mask[i])
     else:
         raise ValueError(f"unknown stacking {stacking!r}")
-    return out.transpose(1, 0, 2).reshape(k, total_blocks * stride)
+    out = out.transpose(1, 0, 2).reshape(k, total_blocks * stride)
+    if return_sums:
+        return out, wgt.reshape(total_blocks * stride)
+    return out
 
 
 def steered_window_indices(

@@ -25,7 +25,6 @@ reuse a single executable.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -141,6 +140,7 @@ class WaveformPicker:
         max_picks: int,
         chunk: int,
         stride: Optional[int] = None,
+        flush_start: Optional[int] = None,
     ):
         """One jitted program: frame → condition → forward (chunked via
         lax.map to bound VMEM) → overlap-average stack with blinding →
@@ -149,13 +149,22 @@ class WaveformPicker:
         With a uniform `stride` (any value; window starts are derived as
         i·stride, overriding `starts`), stacking uses the scatter-free
         shifted-sum formulation unless the unroll factor ceil(window/stride)
-        would be pathological (tiny strides fall back to the scatter form)."""
-        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk, stride)
+        would be pathological (tiny strides fall back to the scatter form).
+        `flush_start` (static) adds one final window flush with the stream
+        end at total - window — SeisBench's annotate places this extra
+        window whenever the uniform grid does not end exactly at the last
+        sample (reference `README.md:54-62`); its contribution is composed
+        into the uniform sums via a static-offset add, so the fast path is
+        kept for the uniform prefix."""
+        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk,
+               stride, flush_start)
         cache = self._jitted.setdefault("fused", {})
         if key in cache:
             return cache[key]
         window = self.in_samples
         channels = self._prob_channels()
+        n_uni = n_win - (1 if flush_start is not None else 0)
+        l, r = blinding
 
         # tiny strides would unroll ceil(window/stride) shifted adds; use the
         # single fused scatter instead
@@ -164,9 +173,13 @@ class WaveformPicker:
         def run(params, data, starts):
             s, c = data.shape[0], data.shape[1]
             if use_uniform:
-                # derive starts from the stride so framing and stacking can
-                # never disagree about window placement
-                starts = jnp.arange(n_win, dtype=jnp.int32) * stride
+                # derive starts from the stride (+ static flush) so framing
+                # and stacking can never disagree about window placement
+                starts = jnp.arange(n_uni, dtype=jnp.int32) * stride
+                if flush_start is not None:
+                    starts = jnp.concatenate(
+                        [starts, jnp.array([flush_start], dtype=jnp.int32)]
+                    )
             frames = frame_windows(data, starts, window)  # (N, S, C, window)
             frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
             n_frames = s * n_win
@@ -182,9 +195,37 @@ class WaveformPicker:
             k = preds.shape[2]
             preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
             if use_uniform:
-                curves = jax.vmap(
-                    lambda q: overlap_stack_uniform(q, stride, blinding=blinding, stacking=stacking)
-                )(preds)[..., :total]
+
+                def stack_one(q):
+                    if flush_start is None:
+                        return overlap_stack_uniform(
+                            q, stride, blinding=blinding, stacking=stacking
+                        )[..., :total]
+                    acc, wgt = overlap_stack_uniform(
+                        q[:n_uni], stride, blinding=blinding, stacking=stacking,
+                        return_sums=True,
+                    )
+                    big = acc.shape[-1]
+                    if big < total:
+                        acc = jnp.pad(acc, ((0, 0), (0, total - big)))
+                        wgt = jnp.pad(wgt, (0, total - big))
+                    else:
+                        acc = acc[..., :total]
+                        wgt = wgt[:total]
+                    fmask = (
+                        jnp.zeros((window,), dtype=q.dtype)
+                        .at[l : window - r if r else window]
+                        .set(1.0)
+                    )
+                    fl = q[n_uni] * fmask
+                    # flush_start + window == total: a static-offset slice add
+                    if stacking == "avg":
+                        acc = acc.at[:, flush_start:].add(fl)
+                        wgt = wgt.at[flush_start:].add(fmask)
+                        return acc / jnp.maximum(wgt, 1.0)[None, :]
+                    return acc.at[:, flush_start:].max(fl)
+
+                curves = jax.vmap(stack_one)(preds)
             else:
                 curves = jax.vmap(
                     lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
@@ -270,17 +311,25 @@ class WaveformPicker:
                 label: tuple(np.concatenate([seg[i] for seg in segs], axis=1) for i in range(5))
                 for label, segs in merged.items()
             }
-        # pad so windows tile uniformly (enables scatter-free stacking);
-        # picks in the padded tail are dropped by the caller
+        # SeisBench window placement: uniform grid at i·stride plus, when the
+        # grid does not end exactly at the last sample, one final window
+        # flush with the stream end (same placement as annotate_array, so
+        # classify and annotate always consume the same window set). Streams
+        # shorter than one window are zero-padded to a single window; picks
+        # whose onset/peak land in that padding are dropped by classify().
         if total <= window:
             padded_total = window
-            n_win = 1
-        else:
-            n_win = math.ceil((total - window) / stride) + 1
-            padded_total = (n_win - 1) * stride + window
-        if padded_total > total:
             data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
-        starts = np.arange(n_win, dtype=np.int64) * stride
+            starts = np.array([0], dtype=np.int64)
+            flush_start = None
+        else:
+            padded_total = total
+            starts = window_starts(total, window, overlap)
+            flush_start = (
+                int(starts[-1])
+                if len(starts) >= 2 and int(starts[-1]) != (len(starts) - 1) * stride
+                else None
+            )
         if max_picks is None:
             max_picks = min(max(32, padded_total // window * 4), 4096)
         channels = self._prob_channels()
@@ -299,6 +348,7 @@ class WaveformPicker:
             max_picks,
             batch_size,
             stride=stride,
+            flush_start=flush_start,
         )
         out = run(self.params, jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts))
         return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
@@ -482,14 +532,19 @@ class WaveformPicker:
                     if label == "N":
                         continue
                     for j in np.where(valid[gi])[0]:
-                        if on[gi, j] >= total:  # pick in the zero-padded tail
+                        # a trigger in the zero-padded tail (streams shorter
+                        # than one window) is not real data: drop picks whose
+                        # onset OR peak lies past the stream end, and clamp
+                        # the trigger end to the last real sample
+                        if on[gi, j] >= total or pk[gi, j] >= total:
                             continue
+                        end = min(int(off[gi, j]), total - 1)
                         if label == "Detection":
                             detections.append(
                                 Detection(
                                     trace_id=trace_id,
                                     start_time=t0 + on[gi, j] / sr,
-                                    end_time=t0 + off[gi, j] / sr,
+                                    end_time=t0 + end / sr,
                                     peak_value=float(val[gi, j]),
                                 )
                             )
@@ -498,7 +553,7 @@ class WaveformPicker:
                                 Pick(
                                     trace_id=trace_id,
                                     start_time=t0 + on[gi, j] / sr,
-                                    end_time=t0 + off[gi, j] / sr,
+                                    end_time=t0 + end / sr,
                                     peak_time=t0 + pk[gi, j] / sr,
                                     peak_value=float(val[gi, j]),
                                     phase=label,
