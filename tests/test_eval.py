@@ -118,7 +118,21 @@ class TestEndToEnd:
         assert (tmp_path / "eval" / "test_metrics.csv").exists()
         m = pd.read_csv(tmp_path / "eval" / "test_metrics.csv")
         assert len(m) == 3
-        assert {"p_F1score", "s_F1score", "p_modified_RMSE", "s_MAD"} <= set(m.columns)
+        # golden header: the exact column set+order of the reference's
+        # {set}_metrics.csv (reference `eval_taks0.py:722-783`)
+        golden = ["prob_thre", "tp_thre"] + [
+            f"{ph}_{c}"
+            for ph in ("p", "s")
+            for c in (
+                "TP", "FP", "FN", "precision", "recall", "F1score",
+                "mean", "median", "std", "MAE", "MAD", "out",
+                "modified_mean", "modified_median", "modified_std",
+                "modified_RMSE", "modified_MAE", "modified_MAD",
+                "modified_mean2", "modified_median2", "modified_std2",
+                "modified_RMSE2", "modified_MAE2", "modified_MAD2",
+            )
+        ]
+        assert list(m.columns) == golden
         # synthetic events are easy: some recall at moderate threshold
         assert m["p_recall"].max() > 0.3
         opt = opt_prob_metrics(tmp_path / "eval")
@@ -129,6 +143,12 @@ class TestEndToEnd:
         generate_task1(ds, tmp_path / "targets", noise_before_events=True)
         generate_task23(ds, tmp_path / "targets")
         eval_tasks123(model, params, ds, tmp_path / "targets", tmp_path / "eval", batch_size=16)
+        # golden prediction columns appended to the targets table, exactly as
+        # the reference writes {set}_task{n}.csv (`eval_taks123.py:152-163`)
+        t23_csv = pd.read_csv(tmp_path / "eval" / "test_task23.csv")
+        assert list(t23_csv.columns[-4:]) == [
+            "score_detection", "score_p_or_s", "p_sample_pred", "s_sample_pred"
+        ]
         t1 = parse_task1(tmp_path / "eval")
         assert "dev_det_auc" in t1 and "test_det_f1" in t1
         assert t1["dev_det_auc"] > 0.6  # synthetic events are detectable
@@ -137,6 +157,55 @@ class TestEndToEnd:
             assert t23["test_P_mae_s"] < 5.0
         df = collect_task123_results(tmp_path, ["eval"])
         assert len(df) == 1
+
+
+class TestSteeredDevicePath:
+    def test_steered_frames_matches_eval_batch(self, ds):
+        """The fused device framing+conditioning equals the host-side
+        eval_batch reference implementation."""
+        import jax.numpy as jnp
+
+        from volpick_tpu.pipeline.generator import (
+            RawBatchSource,
+            eval_batch,
+            steered_frames,
+            steered_window_offsets,
+        )
+
+        window = 601
+        idxs = np.arange(8)
+        ss = np.array([100, 2000, 5500, 0, 300, 5900, 2500, 1][:8]) % 5900
+        es = ss + 80
+        for detrend in (False, True):
+            x_host, borders_host = eval_batch(
+                ds, idxs, window, ss, es, norm="peak", detrend=detrend
+            )
+            src = RawBatchSource(ds)
+            batch = src.take(idxs)
+            w0, borders = steered_window_offsets(batch["len"], ss, es, window)
+            np.testing.assert_array_equal(borders, borders_host)
+            x_dev = np.asarray(
+                steered_frames(jnp.asarray(batch["x"]), jnp.asarray(w0), window,
+                               detrend=detrend, norm="peak")
+            )
+            np.testing.assert_allclose(x_dev, x_host, atol=2e-6)
+
+    @needs_weights
+    def test_chunked_sweep_equals_unchunked(self, ds, tmp_path):
+        from volpick_tpu.models import from_pretrained
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        generate_task0(ds, tmp_path / "t")
+        a = eval_task0(model, params, ds, tmp_path / "t", tmp_path / "a",
+                       sets=("test",), prob_thresholds=(0.3, 0.6), batch_size=16,
+                       curve_chunk=7)  # forces several chunks
+        b = eval_task0(model, params, ds, tmp_path / "t", tmp_path / "b",
+                       sets=("test",), prob_thresholds=(0.3, 0.6), batch_size=16,
+                       curve_chunk=100000)
+        pd.testing.assert_frame_equal(a["test"], b["test"])
+        pa = pd.read_csv(tmp_path / "a" / "test_task0.csv")
+        pb = pd.read_csv(tmp_path / "b" / "test_task0.csv")
+        pd.testing.assert_frame_equal(pa, pb)
 
 
 @needs_weights

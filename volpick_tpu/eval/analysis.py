@@ -77,7 +77,7 @@ def performance_vs_snr_fi(
         prob_threshold = model.default_args.get("P_threshold", 0.3)
     targets = pd.read_csv(Path(targets_path) / "task0.csv")
     targets = targets[targets["trace_split"] == set_name].reset_index(drop=True)
-    runner = _SteeredRunner(model, params, batch_size)
+    runner = _SteeredRunner(model, params, batch_size=batch_size)
     curves = runner.prob_curves(dataset, targets)
     p_pred, s_pred = evaluate(model, params, dataset, targets, prob_threshold, curves=curves)
     p_gt, s_gt = get_ground_truth(dataset, targets)

@@ -23,7 +23,11 @@ import numpy as np
 import pandas as pd
 
 from volpick_tpu.ops.triggers import extract_picks_batched
-from volpick_tpu.pipeline.generator import eval_batch
+from volpick_tpu.pipeline.generator import (
+    RawBatchSource,
+    steered_frames,
+    steered_window_offsets,
+)
 
 SAMPLING_RATE = 100.0
 
@@ -129,49 +133,65 @@ def _residual_stats(residuals: np.ndarray, prefix: str) -> Dict:
 
 # ----------------------------------------------------------------- inference
 class _SteeredRunner:
-    """Batched steered inference returning stacked P/S probability windows."""
+    """Batched steered inference returning stacked P/S probability windows.
 
-    def __init__(self, model, params, batch_size: int = 256):
+    Framing + conditioning + forward run as ONE jitted program per batch
+    (`pipeline.generator.steered_frames`); the host only gathers raw trace
+    buffers and computes window offsets — no per-trace Python loop
+    (replaces the reference's CPU SteeredWindow/Normalize DataLoader path,
+    `volpick/model/eval_taks0.py:458-469`)."""
+
+    def __init__(self, model, params, dataset=None, batch_size: int = 256):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.is_eqt = model.name == "EQTransformer"
+        self._source = None
+        window = model.in_samples
 
         @jax.jit
-        def forward(params, x):
+        def forward(params, x_raw, w0):
+            frames = steered_frames(
+                x_raw, w0, window, detrend=self.is_eqt, norm=model.norm
+            )
             if self.is_eqt:
-                det, p, s = model.apply(params, x)
+                det, p, s = model.apply(params, frames)
                 return jnp.stack([det, p, s], axis=1)
-            return model.apply(params, x)
+            return model.apply(params, frames)
 
         self._forward = forward
+
+    def _get_source(self, dataset) -> RawBatchSource:
+        if self._source is None:
+            self._source = RawBatchSource(dataset)
+        return self._source
 
     def prob_curves(self, dataset, targets: pd.DataFrame) -> np.ndarray:
         """(N, K, window) probability curves for all target windows."""
         window = self.model.in_samples
+        src = self._get_source(dataset)
         outs = []
-        borders = []
+        borders_all = []
         idxs = targets["trace_idx"].to_numpy()
         ss = targets["start_sample"].to_numpy()
         es = targets["end_sample"].to_numpy()
         for lo in range(0, len(targets), self.batch_size):
             hi = min(lo + self.batch_size, len(targets))
-            x, border = eval_batch(
-                dataset,
-                idxs[lo:hi],
-                window,
-                ss[lo:hi],
-                es[lo:hi],
-                norm=self.model.norm,
-                detrend=self.is_eqt,
+            batch = src.take(idxs[lo:hi])
+            w0, border = steered_window_offsets(
+                batch["len"], ss[lo:hi], es[lo:hi], window
             )
+            x = batch["x"]
             pad = self.batch_size - (hi - lo)
             if pad:
                 x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-            pred = np.asarray(self._forward(self.params, jnp.asarray(x)))[: hi - lo]
+                w0 = np.concatenate([w0, np.zeros(pad, dtype=w0.dtype)])
+            pred = np.asarray(
+                self._forward(self.params, jnp.asarray(x), jnp.asarray(w0))
+            )[: hi - lo]
             outs.append(pred)
-            borders.append(border)
-        return np.concatenate(outs), np.concatenate(borders)
+            borders_all.append(border)
+        return np.concatenate(outs), np.concatenate(borders_all)
 
 
 def _phase_channels(model) -> Dict[str, int]:
@@ -191,7 +211,7 @@ def evaluate(
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Per-trace P/S pick lists (absolute sample indices in the trace)."""
     if curves is None:
-        runner = _SteeredRunner(model, params, batch_size)
+        runner = _SteeredRunner(model, params, batch_size=batch_size)
         preds, borders = runner.prob_curves(dataset, targets)
     else:
         preds, borders = curves
@@ -254,8 +274,14 @@ def eval_task0(
     count_tp_method: int = 0,
     no_p: bool = False,
     no_s: bool = False,
+    curve_chunk: int = 8192,
 ):
-    """Threshold sweep; writes {set}_metrics.csv + {set}_task0.csv rows."""
+    """Threshold sweep; writes {set}_metrics.csv + {set}_task0.csv rows.
+
+    `curve_chunk` bounds host memory: at most curve_chunk probability curves
+    (curve_chunk × K × window float32, ~0.3 GB at the default for EQT) are
+    held at once; pick lists accumulate across chunks so the metrics are
+    identical to an unchunked pass."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     task_targets_all = pd.read_csv(Path(targets_path) / "task0.csv")
@@ -266,15 +292,47 @@ def eval_task0(
             targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
         if not len(targets):
             continue
-        runner = _SteeredRunner(model, params, batch_size)
-        curves = runner.prob_curves(dataset, targets)
-        p_gt, s_gt = get_ground_truth(dataset, targets)
-        rows = []
+        runner = _SteeredRunner(model, params, batch_size=batch_size)
+        # chunked sweep: probability curves for at most `curve_chunk` windows
+        # are alive at once (an (N, K, window) float32 buffer at VCSEIS scale
+        # would be many GB); ground-truth/predicted pick LISTS — a few floats
+        # per window — accumulate across chunks, and the metric/residual math
+        # runs on the accumulated lists exactly as an unchunked pass would
+        p_gt, s_gt = [], []
+        p_pred_all = {thr: [] for thr in prob_thresholds}
+        s_pred_all = {thr: [] for thr in prob_thresholds}
         pick_rows = []
+        for c_lo in range(0, len(targets), curve_chunk):
+            chunk = targets.iloc[c_lo : c_lo + curve_chunk].reset_index(drop=True)
+            curves = runner.prob_curves(dataset, chunk)
+            gp, gs = get_ground_truth(dataset, chunk)
+            p_gt.extend(gp)
+            s_gt.extend(gs)
+            for thr in prob_thresholds:
+                p_pred, s_pred = evaluate(model, params, dataset, chunk, thr, curves=curves)
+                p_pred_all[thr].extend(p_pred)
+                s_pred_all[thr].extend(s_pred)
+                for i in range(len(chunk)):
+                    pick_rows.append(
+                        {
+                            "trace_name": chunk.iloc[i]["trace_name"],
+                            "trace_idx": chunk.iloc[i]["trace_idx"],
+                            "prob_threshold": thr,
+                            "p_picks": list(np.asarray(p_pred[i], dtype=float)),
+                            "s_picks": list(np.asarray(s_pred[i], dtype=float)),
+                        }
+                    )
+            del curves
+        rows = []
         for thr in prob_thresholds:
-            p_pred, s_pred = evaluate(model, params, dataset, targets, thr, curves=curves)
-            row = {"prob_threshold": thr}
-            for phase, gt, pred, skip in (("p", p_gt, p_pred, no_p), ("s", s_gt, s_pred, no_s)):
+            # column names pinned to the reference's {set}_metrics.csv schema
+            # (`eval_taks0.py:780-783`: prob_thre, tp_thre, then the per-phase
+            # TP/FP/FN/precision/recall/F1score + 18-stat residual block)
+            row = {"prob_thre": thr, "tp_thre": 0.5}
+            for phase, gt, pred, skip in (
+                ("p", p_gt, p_pred_all[thr], no_p),
+                ("s", s_gt, s_pred_all[thr], no_s),
+            ):
                 if skip:
                     continue
                 TP, FP, FN, *_ = count_TP_FP_FN(gt, pred, method=count_tp_method)
@@ -295,16 +353,8 @@ def eval_task0(
                 res = compute_residuals(gt, pred, SAMPLING_RATE, method=count_tp_method)
                 row.update(_residual_stats(res, phase))
             rows.append(row)
-            for i in range(len(targets)):
-                pick_rows.append(
-                    {
-                        "trace_name": targets.iloc[i]["trace_name"],
-                        "trace_idx": targets.iloc[i]["trace_idx"],
-                        "prob_threshold": thr,
-                        "p_picks": list(np.asarray(p_pred[i], dtype=float)),
-                        "s_picks": list(np.asarray(s_pred[i], dtype=float)),
-                    }
-                )
+        # pick rows grouped per threshold for byte-stable CSV ordering
+        pick_rows.sort(key=lambda r: r["prob_threshold"])
         metrics = pd.DataFrame(rows)
         metrics.to_csv(output_dir / f"{set_name}_metrics.csv", index=False)
         pd.DataFrame(pick_rows).to_csv(output_dir / f"{set_name}_task0.csv", index=False)
@@ -336,7 +386,7 @@ def eval_task0_true_negative_rate(
             targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
         if not len(targets):
             continue
-        runner = _SteeredRunner(model, params, batch_size)
+        runner = _SteeredRunner(model, params, batch_size=batch_size)
         curves = runner.prob_curves(dataset, targets)
         p_gt, s_gt = get_ground_truth(dataset, targets)
         rows = []
@@ -368,9 +418,9 @@ def opt_prob_metrics(output_dir, phases=("p", "s")) -> Dict:
         if col not in dev.columns:
             continue
         i = int(dev[col].fillna(-1).idxmax())
-        thr = float(dev.iloc[i]["prob_threshold"])
+        thr = float(dev.iloc[i]["prob_thre"])
         out[f"{phase}_threshold"] = thr
-        j = int(np.argmin(np.abs(test["prob_threshold"].to_numpy() - thr)))
+        j = int(np.argmin(np.abs(test["prob_thre"].to_numpy() - thr)))
         for c in test.columns:
             if c.startswith(f"{phase}_"):
                 out[f"test_{c}"] = test.iloc[j][c]

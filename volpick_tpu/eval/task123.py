@@ -22,16 +22,25 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from volpick_tpu.pipeline.generator import eval_batch
+from volpick_tpu.pipeline.generator import (
+    RawBatchSource,
+    steered_frames,
+    steered_window_offsets,
+)
 
 
 def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: int = 256):
-    """Batched predict_step: masked max/argmax within the steered region."""
+    """Batched predict_step: masked max/argmax within the steered region.
+
+    Framing + conditioning + forward + score reduction compile into one
+    program per batch (`steered_frames`); only raw trace buffers ship to the
+    device and only 4 scalars per window come back."""
     is_eqt = model.name == "EQTransformer"
     window = model.in_samples
 
     @jax.jit
-    def forward(params, x, borders):
+    def forward(params, x_raw, w0, borders):
+        x = steered_frames(x_raw, w0, window, detrend=is_eqt, norm=model.norm)
         t = jnp.arange(window)[None, :]
         mask = (t >= borders[:, :1]) & (t < borders[:, 1:2])
         if is_eqt:
@@ -58,17 +67,21 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
     idxs = targets["trace_idx"].to_numpy()
     ss = targets["start_sample"].to_numpy()
     es = targets["end_sample"].to_numpy()
+    src = RawBatchSource(dataset)
     out = {"score_detection": [], "score_p_or_s": [], "p_sample_pred": [], "s_sample_pred": []}
     for lo in range(0, len(targets), batch_size):
         hi = min(lo + batch_size, len(targets))
-        x, borders = eval_batch(
-            dataset, idxs[lo:hi], window, ss[lo:hi], es[lo:hi], norm=model.norm, detrend=is_eqt
-        )
+        batch = src.take(idxs[lo:hi])
+        w0, borders = steered_window_offsets(batch["len"], ss[lo:hi], es[lo:hi], window)
+        x = batch["x"]
         pad = batch_size - (hi - lo)
         if pad:
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            w0 = np.concatenate([w0, np.zeros(pad, dtype=w0.dtype)])
             borders = np.concatenate([borders, np.tile([[0, window]], (pad, 1))])
-        det, ps, p_s, s_s = forward(params, jnp.asarray(x), jnp.asarray(borders))
+        det, ps, p_s, s_s = forward(
+            params, jnp.asarray(x), jnp.asarray(w0), jnp.asarray(borders)
+        )
         n = hi - lo
         # predictions are window-relative; re-offset to region-relative samples
         # (the reference predict_step slices the region, so its argmax is

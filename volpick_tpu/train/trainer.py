@@ -39,6 +39,7 @@ from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
 from volpick_tpu.pipeline.augmentations import AugmentConfig
 from volpick_tpu.pipeline.generator import TrainGenerator
 from volpick_tpu.train.checkpoints import CheckpointManager, CSVMetricsLogger
+from volpick_tpu.utils.tensorboard import TensorBoardLogger
 from volpick_tpu.train.ema import ema_update, swa_update
 from volpick_tpu.train.losses import vector_cross_entropy, weighted_bce
 from volpick_tpu.train.schedules import EarlyStopper, PlateauScheduler, warmup_scale
@@ -242,12 +243,16 @@ class Trainer:
         log_every: int = 5,
         checkpoint_every_n_steps: Optional[int] = None,
         hparams: Optional[dict] = None,
+        tensorboard: bool = True,
     ) -> Dict:
         if self._train_step is None:
             self._build_steps()
         monitor = self.monitor if dev_gen is not None else "train_loss"
         exp_dir = Path(save_dir or "weights") / experiment
         csvlog = CSVMetricsLogger(exp_dir, hparams=hparams or {})
+        # CSV + TensorBoard side by side, like the reference
+        # (`volpick/model/train.py:122-130`; TB skipped for test runs there)
+        tblog = TensorBoardLogger(exp_dir / "tensorboard") if tensorboard else None
         ckpt = CheckpointManager(exp_dir / "checkpoints", monitor=monitor, save_ema=self.ema)
         stopper = EarlyStopper(patience=100) if early_stop else None
         rng = jax.random.PRNGKey(self.seed + 1)
@@ -316,6 +321,9 @@ class Trainer:
                 "time_s": time.perf_counter() - t_start,
             }
             csvlog.log(metrics)
+            if tblog is not None:
+                tblog.log_scalars(metrics, self.step)
+                tblog.flush()
             history.append(metrics)
             logger.info(
                 f"epoch {epoch}: train_loss={train_loss:.5f} val_loss={val_loss:.5f} lr={metrics['lr']:.2e}"
@@ -331,6 +339,8 @@ class Trainer:
                 break
 
         self.params, self.opt_state, self.ema_params = params, opt_state, ema_params
+        if tblog is not None:
+            tblog.close()
         with open(exp_dir / "running_time.txt", "w") as f:
             f.write(str(time.perf_counter() - t_start))
         return {"history": history, "best_checkpoint": str(ckpt.best_path), "exp_dir": str(exp_dir)}
@@ -360,6 +370,24 @@ _LIT_ONLY_ARGS = {
     "loss_weights",
     "detection_fixed_window",
 }
+
+
+def apply_training_fraction(training_fraction: float, train_ds) -> None:
+    """Seeded *block* subsampling by `trace_name` bucket, matching the
+    reference exactly (`volpick/model/train.py:335-359`): the unique bucket
+    names (trace_name before '$') are shuffled with np.random.seed(42) and
+    the first fraction of buckets is kept — so the same traces are selected
+    for a given fraction regardless of runtime, and traces sharing an HDF5
+    bucket are kept or dropped together (efficient blockwise reads)."""
+    blocks = train_ds.metadata["trace_name"].astype(str).str.split("$").str[0]
+    unique_blocks = blocks.unique()
+    np.random.seed(42)
+    np.random.shuffle(unique_blocks)
+    # max(·, 1): a dataset with fewer buckets than 1/fraction would otherwise
+    # go empty (the reference would too — int() floors to 0 — but an empty
+    # training set only crashes later and less clearly)
+    target = set(unique_blocks[: max(int(training_fraction * len(unique_blocks)), 1)])
+    train_ds.filter(blocks.isin(target).to_numpy())
 
 
 def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[AugmentConfig] = None):
@@ -403,13 +431,10 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
     dev_ds = dataset.get_split("dev")
 
     frac = float(config.get("training_fraction", 1.0))
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("Training fraction needs to be between 0 and 1.")
     if frac < 1.0:
-        rng = np.random.default_rng(42)
-        n = len(train_ds)
-        keep_idx = rng.permutation(n)[: max(int(n * frac), 1)]
-        mask = np.zeros(n, dtype=bool)
-        mask[keep_idx] = True
-        train_ds.filter(mask)
+        apply_training_fraction(frac, train_ds)
 
     if test_run:
         for ds in (train_ds, dev_ds):
@@ -490,6 +515,8 @@ def train(config: Dict, experiment_name: str = "exp", test_run: bool = False) ->
         early_stop=bool(config.get("early_stop", False)),
         checkpoint_every_n_steps=5 if config.get("whole_dataset") else None,
         hparams=config,
+        # reference skips the TensorBoard logger on test runs (`train.py:127-130`)
+        tensorboard=not test_run,
     )
 
 
