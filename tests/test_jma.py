@@ -45,6 +45,86 @@ def make_arrival_line(sta="ASAMA", day=15, p_hr=12, p_min=35, p_sec=1.23,
     return _pad(s, 96)
 
 
+def test_negative_magnitude_codes(tmp_path):
+    """JMA A/B codes: 'A5' → -1.5, 'B2' → -2.2 (reference `data.py:620-629`
+    replace A→-1, B→-2 then /10)."""
+    f = tmp_path / "neg.txt"
+    line = make_hypo_line()
+    for code, want in (("A5", -1.5), ("B2", -2.2)):
+        s = line[:52] + code + line[54:]
+        with open(f, "w") as fh:
+            fh.write(s + "\n")
+            fh.write(make_arrival_line() + "\n")
+            fh.write("E\n")
+        cat, _ = read_jma_catalog(f)
+        assert cat.events[0].magnitude.mag == pytest.approx(want)
+
+
+def test_shallow_depth_format(tmp_path):
+    """Depth written as 3 digits + 2 blanks is integer km (deck format F3.2
+    vs I3 variants, reference `data.py:584-591`)."""
+    line = make_hypo_line()
+    s = line[:44] + "  7  " + line[49:]
+    f = tmp_path / "dep.txt"
+    with open(f, "w") as fh:
+        fh.write(s + "\n")
+        fh.write(make_arrival_line() + "\n")
+        fh.write("E\n")
+    cat, _ = read_jma_catalog(f)
+    assert cat.events[0].origin.depth_km == pytest.approx(7.0)
+
+
+def test_secondless_arrival_skipped(tmp_path):
+    """An arrival line with blank time digits is logged, not crashed on."""
+    f = tmp_path / "blank.txt"
+    bad = make_arrival_line()
+    bad = bad[:19] + "  " + bad[21:]  # blank hour field -> unparseable time
+    with open(f, "w") as fh:
+        fh.write(make_hypo_line() + "\n")
+        fh.write(bad + "\n")
+        fh.write(make_arrival_line(sta="GOOD") + "\n")
+        fh.write("E\n")
+    cat, skipped = read_jma_catalog(f)
+    assert len(cat) == 1
+    assert {p.station for p in cat.events[0].picks} == {"GOOD"}
+    assert any(s["remark"] == "bad arrival time" for s in skipped)
+
+
+def test_unknown_second_phase_logged(tmp_path):
+    """'M' (max-amplitude) second records keep the P pick and log the skip
+    (reference `data.py:760-774`)."""
+    f = tmp_path / "m2.txt"
+    line = make_arrival_line()
+    line = line[:27] + _pad("M", 4) + line[31:]
+    with open(f, "w") as fh:
+        fh.write(make_hypo_line() + "\n")
+        fh.write(line + "\n")
+        fh.write("E\n")
+    cat, skipped = read_jma_catalog(f)
+    assert len(cat.events[0].picks) == 1
+    assert cat.events[0].picks[0].phase == "P"
+    assert any("unknown phase M" in s["remark"] for s in skipped)
+
+
+def test_multi_file_dir(tmp_path):
+    """Monthly deck files in one directory merge in name order (the
+    reference's read_catalog_multiple_files, `data.py:413-504`)."""
+    from volpick_tpu.acquisition.jma import read_jma_catalog_dir
+
+    d = tmp_path / "decks"
+    d.mkdir()
+    for m in (1, 2, 3):
+        with open(d / f"d2019{m:02d}", "w") as fh:
+            fh.write(make_hypo_line(month=m) + "\n")
+            fh.write(make_arrival_line(mon=f"{m:02d}") + "\n")
+            fh.write("E\n")
+    cat, skipped = read_jma_catalog_dir(d, id_prefix="jma")
+    assert len(cat) == 3
+    months = [ev.origin.time.datetime.month for ev in cat.events]
+    assert months == [1, 2, 3]
+    assert all(ev.event_id.startswith("jmaJ") for ev in cat.events)
+
+
 def test_read_jma(tmp_path):
     f = tmp_path / "jma.txt"
     with open(f, "w") as fh:

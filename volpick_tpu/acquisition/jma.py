@@ -12,7 +12,8 @@ hypocenter century.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
 
 from volpick_tpu.acquisition.events import Catalog, Event, Magnitude, Origin, PhasePick
 from volpick_tpu.core.stream import UTC
@@ -121,7 +122,15 @@ def read_jma_catalog(
                         t1 = mk_time(a[19:21], a[21:23], f"{a[23:25]}.{a[25:27].strip() or '0'}")
                         picks.append(PhasePick("", sta, "", "", t1, p1))
                         p2 = _phase_label(a[27:31])
-                        if a[27:31].strip() and p2 and p2 != p1 and a[31:37].strip():
+                        if a[27:31].strip() and p2 is None:
+                            # reference logs unknown second phases (e.g. "M"
+                            # maximum-amplitude records) and keeps the first
+                            # pick (`data.py:760-774`)
+                            skipped.append(
+                                {"record": a, "remark": f"unknown phase {a[27:31].strip()}"}
+                            )
+                            continue
+                        if p2 and p2 != p1 and a[31:37].strip():
                             t2 = mk_time(a[19:21], a[31:33], f"{a[33:35]}.{a[35:37].strip() or '0'}")
                             picks.append(PhasePick("", sta, "", "", t2, p2))
                 except Exception:
@@ -137,4 +146,44 @@ def read_jma_catalog(
                         picks=picks,
                     )
                 )
+    return cat, skipped
+
+
+def _read_one(args):
+    path, kwargs = args
+    return read_jma_catalog(path, **kwargs)
+
+
+def read_jma_catalog_dir(
+    catalog_dir: Union[str, Path, Sequence],
+    id_prefix: str = "",
+    num_processes: int = 1,
+    **kwargs,
+) -> Tuple[Catalog, List[dict]]:
+    """Multi-file JMA catalog reader (monthly deck files in one directory).
+
+    The reference fans the per-file parsing over spawn processes and merges
+    per-process CSVs (`volpick/data/data.py:413-504`
+    read_catalog_multiple_files); here each file parses independently and
+    the (catalog, skipped) pairs merge in file-name order — identical
+    output, no temp files. `num_processes > 1` parses files in parallel.
+    """
+    if isinstance(catalog_dir, (str, Path)):
+        files = sorted(p for p in Path(catalog_dir).iterdir() if p.is_file())
+    else:
+        files = [Path(p) for p in catalog_dir]
+    kwargs = dict(kwargs, id_prefix=id_prefix)
+    if num_processes > 1 and len(files) > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(num_processes, len(files))) as pool:
+            results = pool.map(_read_one, [(f, kwargs) for f in files])
+    else:
+        results = [read_jma_catalog(f, **kwargs) for f in files]
+    cat = Catalog()
+    skipped: List[dict] = []
+    for c, s in results:
+        cat.events.extend(c.events)
+        skipped.extend(s)
     return cat, skipped
