@@ -6,6 +6,11 @@ from volpick_tpu.acquisition.catalogs import (
     read_hypoinverse_summary,
     group_picks,
 )
+from volpick_tpu.acquisition.comcat import (
+    download_phases,
+    group_comcat_picks,
+    read_PNSN_events,
+)
 
 __all__ = [
     "Catalog",
@@ -18,4 +23,7 @@ __all__ = [
     "read_hvo_summary",
     "read_hypoinverse_summary",
     "group_picks",
+    "download_phases",
+    "group_comcat_picks",
+    "read_PNSN_events",
 ]

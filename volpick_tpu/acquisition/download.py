@@ -154,12 +154,54 @@ def download_waveforms_fdsn(
     return assemble_subprocess_csvlogs(save_dir, "download_log_p*.csv", "download_log.csv")
 
 
-def _download_worker(table, save_dir, providers, time_window, sampling_rate, pid):
-    import obspy
-    from obspy.clients.fdsn import Client
+def _phase_in_gap(stream, arrivals) -> bool:
+    """True when any arrival lies outside EVERY trace's [start, end] span
+    (reference `data.py:3184-3206`: picks landing in a data gap disqualify
+    the whole trace row). Duck-typed so fake streams work in tests."""
+    for ts in arrivals:
+        out_of_all = True
+        for tr in stream:
+            t0 = float(getattr(tr.stats.starttime, "timestamp", tr.stats.starttime))
+            t1 = float(getattr(tr.stats.endtime, "timestamp", tr.stats.endtime))
+            if t0 <= ts <= t1:
+                out_of_all = False
+                break
+        if out_of_all:
+            return True
+    return False
+
+
+def _download_worker(
+    table,
+    save_dir,
+    providers,
+    time_window,
+    sampling_rate,
+    pid,
+    client_factory=None,
+    stream_writer=None,
+    time_cls=None,
+):
+    """One worker process of download_waveforms_fdsn.
+
+    `client_factory(provider) -> client`, `stream_writer(stream, path)` and
+    `time_cls` (constructor for the client's time arguments) default to the
+    obspy implementations; tests inject fakes to exercise the QC branches
+    without obspy or network (reference worker: `data.py:2936-3272`).
+    """
+    if client_factory is None:
+        from obspy.clients.fdsn import Client as client_factory  # noqa: N813
+    if time_cls is None:
+        try:
+            from obspy import UTCDateTime as time_cls  # noqa: N813
+        except ImportError:
+            time_cls = float
+    if stream_writer is None:
+        def stream_writer(st, fname):
+            st.write(str(fname), format="MSEED")
 
     save_dir = Path(save_dir)
-    clients = [Client(p) for p in providers]
+    clients = [client_factory(p) for p in providers]
     rows = []
     for row in table.itertuples():
         entry = {"trace_name": getattr(row, "trace_name", ""), "error": ""}
@@ -177,8 +219,8 @@ def _download_worker(table, save_dir, providers, time_window, sampling_rate, pid
                 entry["error"] = "P_before_origin"
                 rows.append(entry)
                 continue
-            t0 = obspy.UTCDateTime(first - time_window / 3.0)
-            t1 = obspy.UTCDateTime(first + time_window)
+            t0 = time_cls(first - time_window / 3.0)
+            t1 = time_cls(first + time_window)
             st = None
             for client in clients:
                 try:
@@ -196,10 +238,16 @@ def _download_worker(table, save_dir, providers, time_window, sampling_rate, pid
             if st is None or not len(st):
                 rows.append(entry)
                 continue
+            # picks landing in a data gap disqualify the row
+            arrivals = [UTC(t).timestamp for t in (p_t, s_t) if pd.notna(t)]
+            if _phase_in_gap(st, arrivals):
+                entry["error"] = "phases_in_gap"
+                rows.append(entry)
+                continue
             if sampling_rate:
                 st.resample(sampling_rate)
             fname = save_dir / "mseed" / f"{row.trace_name}.mseed"
-            st.write(str(fname), format="MSEED")
+            stream_writer(st, fname)
             entry["error"] = ""
             rows.append(entry)
         except Exception as e:
