@@ -118,6 +118,35 @@ def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
     return len(starts) / dt
 
 
+def _tpu_throughput_bf16(n_iter: int = 12):
+    """bf16 fused classify on the same workload (side-artifact axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    picker = WaveformPicker(model, params, precision="bfloat16")
+    rng = np.random.default_rng(0)
+    data = _make_stream_array(rng)
+    total = data.shape[-1]
+    starts = window_starts(total, WINDOW, OVERLAP)
+    run = picker._fused_classify_fn(
+        STATIONS, len(starts), total, BLINDING, "avg",
+        (0.10141666, 0.22, 0.22), 64, 256, stride=WINDOW - OVERLAP,
+    )
+    d, st = jnp.asarray(data), jnp.asarray(starts)
+    _ = jax.device_get(run(picker.params, d, st))
+    t0 = time.perf_counter()
+    handles = [run(picker.params, d, st) for _ in range(n_iter)]
+    _ = [jax.device_get(h) for h in handles]
+    return STATIONS * len(starts) * n_iter / (time.perf_counter() - t0)
+
+
 def main():
     import volpick_tpu
 
@@ -129,6 +158,18 @@ def main():
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu = float("nan")
     vs = tpu / cpu if cpu == cpu and cpu > 0 else None
+    # extended axes (BENCH_AXES=1): bf16 fused classify, recorded in a side
+    # artifact so the stdout contract stays one JSON line
+    if os.environ.get("BENCH_AXES"):
+        try:
+            bf16 = _tpu_throughput_bf16()
+            extra = {"bf16_classify_windows_per_s": round(bf16, 2),
+                     "fp32_classify_windows_per_s": round(tpu, 2)}
+            print(json.dumps(extra), file=sys.stderr)
+            with open("BENCH_AXES.json", "w") as f:
+                json.dump(extra, f)
+        except Exception as e:
+            print(f"bf16 axis failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

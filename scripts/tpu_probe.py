@@ -1,0 +1,261 @@
+"""On-TPU probe: Pallas kernel compile/benchmark + bf16/forward axes.
+
+Measures, on the real (axon-tunneled) TPU chip, with tunnel overhead factored
+out via chained fori_loop iterations and a scalar fetch (block_until_ready
+does not wait over the tunnel):
+
+  stage 1 (default):  condition_windows_pallas vs the jnp conditioning
+  stage 2 (--rescnn): bounded attempt to Mosaic-compile res_cnn_stack_pallas
+  stage 3 (--axes):   fused classify fp32 vs bf16, pure forward fp32/bf16
+
+Writes results as JSON lines to stdout and appends to docs/TPU_PROBE.json.
+Run stages in separate processes (one tunnel client at a time; a hung Mosaic
+compile must not take the other stages down):
+
+    timeout 1800 python -u scripts/tpu_probe.py
+    timeout 1800 python -u scripts/tpu_probe.py --rescnn
+    timeout 2400 python -u scripts/tpu_probe.py --axes
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def log(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    out = Path(__file__).resolve().parents[1] / "docs" / "TPU_PROBE.jsonl"
+    with open(out, "a") as f:
+        f.write(line + "\n")
+
+
+def bench_loop(op, x, iters_a=100, iters_b=1100):
+    """Per-iteration seconds for y=op(x), tunnel overhead excluded.
+
+    Chains iterations through a scalar carry (fori_loop) so XLA cannot
+    collapse them, runs two different iteration counts, and divides the
+    wall-clock difference — constant per-call overhead (dispatch, tunnel
+    RTT, fetch) cancels."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(iters):
+        @jax.jit
+        def loop(x):
+            def body(i, carry):
+                y = op(x + carry * 1e-30)
+                return jnp.mean(y) * 1e-6 + carry * 0.5
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return loop
+
+    la, lb = make(iters_a), make(iters_b)
+    xd = jax.device_put(x)
+    # warm both executables (compile + cache)
+    float(jax.device_get(la(xd)))
+    float(jax.device_get(lb(xd)))
+
+    def run(l):
+        t0 = time.perf_counter()
+        r = float(jax.device_get(l(xd)))
+        return time.perf_counter() - t0, r
+
+    ta = min(run(la)[0] for _ in range(3))
+    tb = min(run(lb)[0] for _ in range(3))
+    return max(tb - ta, 1e-9) / (iters_b - iters_a)
+
+
+def stage_conditioning():
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.ops.pallas.conditioning import condition_windows_pallas
+    from volpick_tpu.ops.signal import demean, detrend_linear, normalize_amplitude
+
+    dev = jax.devices()[0]
+    log({"stage": "conditioning", "device": str(dev), "platform": dev.platform})
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(256, 3, 6000)).astype(np.float32)
+
+    def jnp_cond(v):
+        return normalize_amplitude(detrend_linear(v), norm="peak", per_channel=True)
+
+    def pallas_cond(v):
+        return condition_windows_pallas(v, detrend=True, norm="peak")
+
+    # correctness on-device first
+    try:
+        t0 = time.perf_counter()
+        got = np.asarray(jax.device_get(jax.jit(pallas_cond)(jnp.asarray(x))))
+        compile_s = time.perf_counter() - t0
+        want = np.asarray(jax.device_get(jax.jit(jnp_cond)(jnp.asarray(x))))
+        err = float(np.max(np.abs(got - want)))
+        log({"stage": "conditioning", "event": "pallas_compiled_on_tpu",
+             "first_call_s": round(compile_s, 2), "max_abs_err_vs_jnp": err})
+        if err > 1e-4:
+            log({"stage": "conditioning", "event": "MISMATCH", "err": err})
+            return
+    except Exception as e:  # capture the failure artifact verbatim
+        log({"stage": "conditioning", "event": "pallas_compile_FAILED",
+             "error": f"{type(e).__name__}: {e}"[:2000]})
+        return
+
+    t_jnp = bench_loop(jnp_cond, x)
+    n_bytes = x.nbytes
+    for tile in (8, 32, 64, 128):
+        t_pal = bench_loop(
+            lambda v, tile=tile: condition_windows_pallas(
+                v, detrend=True, norm="peak", tile=tile
+            ),
+            x,
+        )
+        log({
+            "stage": "conditioning",
+            "tile": tile,
+            "jnp_s_per_call": round(t_jnp * 1e6) / 1e6,
+            "pallas_s_per_call": round(t_pal * 1e6) / 1e6,
+            "speedup": round(t_jnp / t_pal, 3),
+            "jnp_GBps_rw": round(2 * n_bytes / t_jnp / 1e9, 1),
+            "pallas_GBps_rw": round(2 * n_bytes / t_pal / 1e9, 1),
+        })
+
+
+def stage_rescnn():
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.pallas.rescnn import fold_res_cnn_params, res_cnn_stack_pallas
+
+    log({"stage": "rescnn", "event": "start",
+         "note": "bounded Mosaic compile attempt of the 42-matmul body"})
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    packed = fold_res_cnn_params(params["res_cnn"])
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 64, 47)).astype(np.float32)
+
+    try:
+        t0 = time.perf_counter()
+        out = np.asarray(jax.device_get(res_cnn_stack_pallas(jnp.asarray(x), packed)))
+        compile_s = time.perf_counter() - t0
+        log({"stage": "rescnn", "event": "pallas_compiled_on_tpu",
+             "first_call_s": round(compile_s, 2), "out_norm": float(np.abs(out).mean())})
+    except Exception as e:
+        log({"stage": "rescnn", "event": "pallas_compile_FAILED",
+             "error": f"{type(e).__name__}: {e}"[:2000]})
+        return
+
+    # reference section: the model's own res-CNN via XLA (same math as the
+    # trunk's pre-activation loop, eqtransformer.py apply())
+    from volpick_tpu.models.layers import batch_norm, conv1d_same
+
+    def xla_op(v):
+        h = v
+        for block in params["res_cnn"]:
+            y = jax.nn.relu(batch_norm(h, block["norm1"], train=False, eps=1e-3)[0])
+            y = conv1d_same(y, block["conv1"]["w"], block["conv1"]["b"])
+            y = jax.nn.relu(batch_norm(y, block["norm2"], train=False, eps=1e-3)[0])
+            y = conv1d_same(y, block["conv2"]["w"], block["conv2"]["b"])
+            h = h + y
+        return h
+
+    def pal_op(v):
+        return res_cnn_stack_pallas(v, packed)
+
+    want = np.asarray(jax.device_get(jax.jit(xla_op)(jnp.asarray(x))))
+    err = float(np.max(np.abs(out - want)))
+    t_xla = bench_loop(xla_op, x)
+    t_pal = bench_loop(pal_op, x)
+    log({
+        "stage": "rescnn",
+        "max_abs_err_vs_xla": err,
+        "xla_s_per_call": round(t_xla * 1e6) / 1e6,
+        "pallas_s_per_call": round(t_pal * 1e6) / 1e6,
+        "speedup": round(t_xla / t_pal, 3),
+    })
+
+
+def stage_axes():
+    """fp32 vs bf16 fused classify + pure forward throughput axes."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    WINDOW, OVERLAP, BLINDING = 6000, 5500, (500, 500)
+    rng = np.random.default_rng(0)
+    n = int(20 * 60 * 100)
+    data = rng.normal(size=(8, 3, n)).astype(np.float32) * 0.1
+    total = data.shape[-1]
+    starts = window_starts(total, WINDOW, OVERLAP)
+    n_win = len(starts)
+    thr = (0.10141666, 0.22, 0.22)
+
+    results = {}
+    for precision in ("float32", "bfloat16"):
+        picker = WaveformPicker(model, params, precision=precision)
+        run = picker._fused_classify_fn(
+            8, n_win, total, BLINDING, "avg", thr, 64, 256, stride=WINDOW - OVERLAP
+        )
+        d, st = jnp.asarray(data), jnp.asarray(starts)
+        _ = jax.device_get(run(picker.params, d, st))  # compile+warm
+        t0 = time.perf_counter()
+        handles = [run(picker.params, d, st) for _ in range(12)]
+        _ = [jax.device_get(h) for h in handles]
+        dt = time.perf_counter() - t0
+        results[f"classify_{precision}_windows_per_s"] = round(8 * n_win * 12 / dt, 1)
+
+    # pure device forward (no framing/stacking/triggering, no tunnel in loop)
+    frames = rng.normal(size=(256, 3, WINDOW)).astype(np.float32)
+    for precision in ("float32", "bfloat16"):
+        picker = WaveformPicker(model, params, precision=precision)
+
+        def fwd(v):
+            det, p, s = picker._apply_model(picker.params, v)
+            return det
+
+        t = bench_loop(fwd, frames, iters_a=10, iters_b=110)
+        results[f"forward_{precision}_windows_per_s"] = round(256 / t, 1)
+    results["stage"] = "axes"
+    log(results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rescnn", action="store_true")
+    ap.add_argument("--axes", action="store_true")
+    args = ap.parse_args()
+
+    import volpick_tpu
+
+    volpick_tpu.enable_compilation_cache()
+    import jax
+
+    log({"event": "probe_start", "jax": jax.__version__,
+         "backend": jax.default_backend()})
+    if args.rescnn:
+        stage_rescnn()
+    elif args.axes:
+        stage_axes()
+    else:
+        stage_conditioning()
+
+
+if __name__ == "__main__":
+    main()

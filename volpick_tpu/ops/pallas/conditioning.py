@@ -2,13 +2,17 @@
 
 One VMEM pass per window tile computes the mean, the least-squares linear
 trend (closed form over centered coordinates), and the per-channel peak/std
-scale, then writes the conditioned window — a single HBM read + write per
-sample, where the op-by-op formulation re-reads the window for each
-reduction. Used on the classify hot path for large window batches; the
-reference runs this per-sample in numpy loader workers.
+scale, then writes the conditioned window. The reference runs this
+per-sample in numpy loader workers.
 
-Falls back to the jnp implementation (ops.signal) off-TPU; CPU tests run the
-kernel in interpreter mode.
+Measured on real TPU (v5e via axon, 2026-08-16, docs/TPU_PROBE.jsonl):
+compiles and matches the jnp path to 2.4e-7, but XLA's own fusion of the
+ops.signal formulation is FASTER — 570 GB/s effective r/w vs 452-525 GB/s
+for this kernel across tiles 8..128 (XLA fuses the reductions into a
+single pass already; Mosaic's pipelining here adds overhead). Hence
+`WaveformPicker(use_pallas=False)` remains the default; the kernel is kept
+as a verified baseline for future Mosaic revisions. CPU tests run it in
+interpreter mode.
 """
 
 from __future__ import annotations

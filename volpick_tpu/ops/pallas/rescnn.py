@@ -15,10 +15,12 @@ Used in eval/classify mode only (training needs batch statistics).
 
 Status: numerically verified against the model's res-CNN section (interpreter
 mode, including the published weights). Not wired into the default classify
-path: in the current axon environment the Mosaic compile of the 42-matmul
-unrolled body via the remote-compile service exceeds practical time budgets,
-and the XLA path is already a small fraction of the 4 ms/batch forward. Kept
-as the optimization seed for local-TPU deployments where compile is cheap.
+path: a bounded on-hardware compile attempt (2026-08-16, 40-minute cap,
+docs/TPU_PROBE.jsonl "rescnn" stage) confirmed the Mosaic remote compile of
+the 42-matmul unrolled body does not finish within practical budgets over
+the axon tunnel — the process was killed at the bound. The XLA path is
+already a small fraction of the 4 ms/batch forward. Kept as the optimization
+seed for local-TPU deployments where compile is cheap.
 """
 
 from __future__ import annotations
