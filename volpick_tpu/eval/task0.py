@@ -145,7 +145,7 @@ class _SteeredRunner:
         self.model = model
         self.params = params
         self.batch_size = batch_size
-        self.is_eqt = model.name == "EQTransformer"
+        self.is_eqt = model.name in ("EQTransformer", "VolEQTransformer")
         self._source = None
         window = model.in_samples
 
@@ -154,10 +154,10 @@ class _SteeredRunner:
             frames = steered_frames(
                 x_raw, w0, window, detrend=self.is_eqt, norm=model.norm
             )
-            if self.is_eqt:
-                det, p, s = model.apply(params, frames)
-                return jnp.stack([det, p, s], axis=1)
-            return model.apply(params, frames)
+            out = model.apply(params, frames)
+            if isinstance(out, tuple):  # EQT family: per-head outputs
+                return jnp.stack(out, axis=1)
+            return out
 
         self._forward = forward
 
@@ -195,6 +195,8 @@ class _SteeredRunner:
 
 
 def _phase_channels(model) -> Dict[str, int]:
+    if model.name == "VolEQTransformer":
+        return {"P": 2, "S": 3}  # (rg_det, lp_det, P, S)
     if model.name == "EQTransformer":
         return {"P": 1, "S": 2}
     return {"P": model.phases.index("P"), "S": model.phases.index("S")}

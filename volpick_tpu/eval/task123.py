@@ -35,7 +35,8 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
     Framing + conditioning + forward + score reduction compile into one
     program per batch (`steered_frames`); only raw trace buffers ship to the
     device and only 4 scalars per window come back."""
-    is_eqt = model.name == "EQTransformer"
+    is_eqt = model.name in ("EQTransformer", "VolEQTransformer")
+    is_voleqt = model.name == "VolEQTransformer"
     window = model.in_samples
 
     @jax.jit
@@ -43,7 +44,25 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
         x = steered_frames(x_raw, w0, window, detrend=is_eqt, norm=model.norm)
         t = jnp.arange(window)[None, :]
         mask = (t >= borders[:, :1]) & (t < borders[:, 1:2])
-        if is_eqt:
+        extra = ()
+        if is_voleqt:
+            # commented reference predict_step (`models.py:1310-1374`):
+            # score_detection = max over max(rg, lp); plus per-type scores
+            rg, lp, p, s = model.apply(params, x)
+            rg_m = jnp.where(mask, rg, -jnp.inf)
+            lp_m = jnp.where(mask, lp, -jnp.inf)
+            p_m = jnp.where(mask, p, -jnp.inf)
+            s_m = jnp.where(mask, s, -jnp.inf)
+            score_det = jnp.max(jnp.maximum(rg_m, lp_m), axis=-1)
+            score_ps = jnp.max(p_m, axis=-1) / jnp.max(s_m, axis=-1)
+            p_sample = jnp.argmax(p_m, axis=-1)
+            s_sample = jnp.argmax(s_m, axis=-1)
+            extra = (
+                jnp.max(rg_m, axis=-1),
+                jnp.max(lp_m, axis=-1),
+                jnp.max(rg_m, axis=-1) / jnp.max(lp_m, axis=-1),
+            )
+        elif is_eqt:
             det, p, s = model.apply(params, x)
             det_m = jnp.where(mask, det, -jnp.inf)
             p_m = jnp.where(mask, p, -jnp.inf)
@@ -62,13 +81,16 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
             score_ps = jnp.max(p_m, axis=-1) / jnp.max(s_m, axis=-1)
             p_sample = jnp.argmax(p_m, axis=-1)
             s_sample = jnp.argmax(s_m, axis=-1)
-        return score_det, score_ps, p_sample, s_sample
+        return (score_det, score_ps, p_sample, s_sample) + extra
 
     idxs = targets["trace_idx"].to_numpy()
     ss = targets["start_sample"].to_numpy()
     es = targets["end_sample"].to_numpy()
     src = RawBatchSource(dataset)
-    out = {"score_detection": [], "score_p_or_s": [], "p_sample_pred": [], "s_sample_pred": []}
+    cols = ["score_detection", "score_p_or_s", "p_sample_pred", "s_sample_pred"]
+    if is_voleqt:
+        cols += ["score_rg_detection", "score_lp_detection", "score_rg_or_lp"]
+    out = {k: [] for k in cols}
     for lo in range(0, len(targets), batch_size):
         hi = min(lo + batch_size, len(targets))
         batch = src.take(idxs[lo:hi])
@@ -79,9 +101,8 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             w0 = np.concatenate([w0, np.zeros(pad, dtype=w0.dtype)])
             borders = np.concatenate([borders, np.tile([[0, window]], (pad, 1))])
-        det, ps, p_s, s_s = forward(
-            params, jnp.asarray(x), jnp.asarray(w0), jnp.asarray(borders)
-        )
+        res = forward(params, jnp.asarray(x), jnp.asarray(w0), jnp.asarray(borders))
+        det, ps, p_s, s_s = res[:4]
         n = hi - lo
         # predictions are window-relative; re-offset to region-relative samples
         # (the reference predict_step slices the region, so its argmax is
@@ -90,6 +111,10 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
         out["score_p_or_s"].append(np.asarray(ps)[:n])
         out["p_sample_pred"].append(np.asarray(p_s)[:n] - borders[:n, 0])
         out["s_sample_pred"].append(np.asarray(s_s)[:n] - borders[:n, 0])
+        if is_voleqt:
+            out["score_rg_detection"].append(np.asarray(res[4])[:n])
+            out["score_lp_detection"].append(np.asarray(res[5])[:n])
+            out["score_rg_or_lp"].append(np.asarray(res[6])[:n])
     return {k: np.concatenate(v) for k, v in out.items()}
 
 

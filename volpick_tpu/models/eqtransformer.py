@@ -92,6 +92,11 @@ class EQTransformer:
     def labels(self) -> str:
         return "D" + self.phases  # detection + phases
 
+    @property
+    def detection_branches(self) -> Tuple[Tuple[str, str], ...]:
+        """(decoder param key, output conv param key) per detection head."""
+        return (("decoder_d", "conv_d"),)
+
     # ---- parameters ----------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
         keys = iter(jax.random.split(key, 256))
@@ -276,12 +281,13 @@ class EQTransformer:
                 h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
             return h
 
-        det = decode(h, params["decoder_d"])
-        det = conv1d_same(det, params["conv_d"]["w"], params["conv_d"]["b"])[:, 0]
-        if not logits:
-            det = jax.nn.sigmoid(det)
-
-        outputs = [det]
+        outputs = []
+        for dec_key, conv_key in self.detection_branches:
+            det = decode(h, params[dec_key])
+            det = conv1d_same(det, params[conv_key]["w"], params[conv_key]["b"])[:, 0]
+            if not logits:
+                det = jax.nn.sigmoid(det)
+            outputs.append(det)
         for lp, ap, dp, cp in zip(
             params["pick_lstms"],
             params["pick_attentions"],
@@ -304,3 +310,34 @@ class EQTransformer:
 
     def __call__(self, params, x, **kw):
         return self.apply(params, x, **kw)
+
+
+@dataclasses.dataclass
+class VolEQTransformer(EQTransformer):
+    """4-head EQTransformer separating LP vs regular-event detection.
+
+    Functional realization of the reference's abandoned VolEQTransformerLit
+    design (commented out at `volpick/model/models.py:909-1557`): the shared
+    encoder / res-CNN / BiLSTM / transformer trunk feeds TWO detection
+    decoder branches — regular (VT) events and long-period events — plus the
+    usual P/S pick branches. apply() returns
+    ``(rg_detection, lp_detection, P, S)`` matching the commented
+    shared_step's unpacking (`models.py:963-976`). Detection labels are
+    gated per trace by source type (EventTypeDetectionLabeller semantics,
+    `models.py:1376-1456`: "if the source type of the input is not the
+    specified one, labels are zeros") — see Trainer._loss.
+    """
+
+    name: str = "VolEQTransformer"
+
+    @property
+    def detection_branches(self) -> Tuple[Tuple[str, str], ...]:
+        return (("decoder_d", "conv_d"), ("decoder_lp", "conv_lp"))
+
+    def init(self, key: jax.Array) -> Dict:
+        k1, k2 = jax.random.split(key)
+        params = EQTransformer.init(self, k1)
+        donor = EQTransformer.init(self, k2)  # independent weights for head 2
+        params["decoder_lp"] = donor["decoder_d"]
+        params["conv_lp"] = donor["conv_d"]
+        return params

@@ -86,6 +86,8 @@ class WaveformPicker:
 
     def _prob_channels(self) -> List[str]:
         """Output channel names in prediction order."""
+        if self.model.name == "VolEQTransformer":
+            return ["Detection_rg", "Detection_lp", "P", "S"]
         if self.model.name == "EQTransformer":
             return ["Detection", "P", "S"]
         return list(self.model.phases)  # e.g. P, S, N
@@ -96,11 +98,9 @@ class WaveformPicker:
         if self.precision == "bfloat16":
             params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
             frames = frames.astype(jnp.bfloat16)
-        if self.model.name == "EQTransformer":
-            det, p, s = self.model.apply(params, frames)
-            out = jnp.stack([det, p, s], axis=1)
-        else:
-            out = self.model.apply(params, frames)
+        out = self.model.apply(params, frames)
+        if isinstance(out, tuple):  # EQT family: per-head (N, window) outputs
+            out = jnp.stack(out, axis=1)
         return out.astype(jnp.float32)
 
     def _forward_windows(self, frames: jnp.ndarray) -> jnp.ndarray:
@@ -511,6 +511,9 @@ class WaveformPicker:
             "P": P_threshold,
             "S": S_threshold,
             "Detection": detection_threshold,
+            # VolEQTransformer's per-type detection heads share the threshold
+            "Detection_rg": detection_threshold,
+            "Detection_lp": detection_threshold,
             "N": 2.0,  # noise channel never triggers
         }
         by_len: Dict[int, List] = {}
@@ -539,7 +542,7 @@ class WaveformPicker:
                         if on[gi, j] >= total or pk[gi, j] >= total:
                             continue
                         end = min(int(off[gi, j]), total - 1)
-                        if label == "Detection":
+                        if label.startswith("Detection"):
                             detections.append(
                                 Detection(
                                     trace_id=trace_id,

@@ -112,7 +112,7 @@ class StreamingPicker:
         out = PickList()
         t0 = self._t0[key]
         for label, (pk, val, valid, on, off) in results.items():
-            if label in ("N", "Detection"):
+            if label == "N" or label.startswith("Detection"):
                 continue
             for j in np.where(valid[0])[0]:
                 if on[0, j] >= n:

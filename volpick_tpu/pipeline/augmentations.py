@@ -420,4 +420,9 @@ def augment_train_batch(
     out = {"X": x.astype(jnp.float32), "y": prim["y"].astype(jnp.float32)}
     if cfg.detection and "detections" in prim:
         out["detections"] = prim["detections"].astype(jnp.float32)
+    if "is_lp" in prim_raw:
+        # per-trace source-type flag rides along unchanged (windowing/
+        # stacking never reorders rows); VolEQTransformer's loss gates its
+        # two detection heads with it (EventTypeDetectionLabeller semantics)
+        out["is_lp"] = jnp.asarray(prim_raw["is_lp"], jnp.float32)
     return out

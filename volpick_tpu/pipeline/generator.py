@@ -70,6 +70,14 @@ class RawBatchSource:
         self.dataset = dataset
         n = len(dataset)
         self.p, self.s = _onset_arrays(dataset.metadata, target_rate=dataset.sampling_rate)
+        # per-trace LP flag for event-type detection heads
+        # (EventTypeDetectionLabeller semantics, reference `models.py:1376-1456`)
+        st = dataset.metadata.get("source_type")
+        if st is not None:
+            lp = st.astype(str).str.lower().isin({"lp", "long period", "long-period"})
+            self.is_lp = lp.to_numpy().astype(np.float32)
+        else:
+            self.is_lp = np.zeros(n, dtype=np.float32)
 
         # probe a few traces for shape bookkeeping
         probe = [dataset.get_sample(i)[0] for i in range(min(n, 8))]
@@ -151,6 +159,7 @@ class RawBatchSource:
                 "len": lens,
                 "p": self._mask_onsets_beyond(self.p[idx], lens),
                 "s": self._mask_onsets_beyond(self.s[idx], lens),
+                "is_lp": self.is_lp[idx],
             }
         b = len(idx)
         x = np.zeros((b, self.n_channels, self.buffer_len), dtype=np.float32)
@@ -165,6 +174,7 @@ class RawBatchSource:
             "len": lens,
             "p": self._mask_onsets_beyond(self.p[idx], lens),
             "s": self._mask_onsets_beyond(self.s[idx], lens),
+            "is_lp": self.is_lp[idx],
         }
 
     def random_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:

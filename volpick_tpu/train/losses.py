@@ -31,3 +31,21 @@ def weighted_bce(
         + weights[1] * bce(p_pred, p_true)
         + weights[2] * bce(s_pred, s_true)
     )
+
+
+def vol_eqt_loss(
+    rg_pred, lp_pred, p_pred, s_pred, rg_true, lp_true, p_true, s_true,
+    weights=(0.05, 0.05, 0.45, 0.45),
+):
+    """VolEQTransformer loss: weighted BCE over (regular detection, LP
+    detection, P, S). The reference's commented shared_step
+    (`volpick/model/models.py:963-976`) applies loss_weights[0] to both
+    detection heads and [1]/[2] to P/S; here each head gets its own weight
+    with the same defaults, which is identical for the shipped
+    (0.05, 0.05, 0.45, 0.45)."""
+    return (
+        weights[0] * bce(rg_pred, rg_true)
+        + weights[1] * bce(lp_pred, lp_true)
+        + weights[2] * bce(p_pred, p_true)
+        + weights[3] * bce(s_pred, s_true)
+    )

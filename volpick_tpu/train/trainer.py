@@ -35,13 +35,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from volpick_tpu import logger
-from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
+from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet, VolEQTransformer
 from volpick_tpu.pipeline.augmentations import AugmentConfig
 from volpick_tpu.pipeline.generator import TrainGenerator
 from volpick_tpu.train.checkpoints import CheckpointManager, CSVMetricsLogger
 from volpick_tpu.utils.tensorboard import TensorBoardLogger
 from volpick_tpu.train.ema import ema_update, swa_update
-from volpick_tpu.train.losses import vector_cross_entropy, weighted_bce
+from volpick_tpu.train.losses import vector_cross_entropy, vol_eqt_loss, weighted_bce
 from volpick_tpu.train.schedules import EarlyStopper, PlateauScheduler, warmup_scale
 
 
@@ -137,7 +137,8 @@ class Trainer:
         self.warmup_steps = warmup_steps
         self.monitor = monitor
         self.seed = seed
-        self.is_eqt = isinstance(model, EQTransformer)
+        self.is_voleqt = isinstance(model, VolEQTransformer)
+        self.is_eqt = isinstance(model, EQTransformer) and not self.is_voleqt
 
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -187,7 +188,27 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
     def _loss(self, params, batch, train: bool, rng=None):
-        if self.is_eqt:
+        if self.is_voleqt:
+            if train:
+                (rg, lp, p, s), bn_up = self.model.apply(params, batch["X"], train=True, rng=rng)
+            else:
+                rg, lp, p, s = self.model.apply(params, batch["X"])
+                bn_up = {}
+            # detection labels gate per trace by source type: LP traces
+            # zero the regular head's target and vice versa
+            # (EventTypeDetectionLabeller, reference `models.py:1376-1456`)
+            det = batch["detections"][:, 0]
+            is_lp = batch["is_lp"][:, None]
+            weights = self.loss_weights
+            if len(weights) == 3:  # EQT default given; reuse det weight twice
+                weights = (weights[0], weights[0], weights[1], weights[2])
+            loss = vol_eqt_loss(
+                rg, lp, p, s,
+                det * (1.0 - is_lp), det * is_lp,
+                batch["y"][:, 0], batch["y"][:, 1],
+                weights,
+            )
+        elif self.is_eqt:
             if train:
                 (det, p, s), bn_up = self.model.apply(params, batch["X"], train=True, rng=rng)
             else:
@@ -357,7 +378,8 @@ class Trainer:
 
 
 # --------------------------------------------------------------- config entry
-_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
+_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet,
+           "voleqtransformer": VolEQTransformer}
 _LIT_ONLY_ARGS = {
     "lr",
     "sigma",
