@@ -308,3 +308,151 @@ def extract_noise_from_dataset(
 
     generate_chunk_file(dest_dir)
     return dest_dir
+
+
+def convert_from_old_format(
+    src_dir,
+    dest_dir,
+    bucket_size: int = 1024,
+    split_prob: Sequence[float] = (0.7, 0.1, 0.2),
+    loader: Optional[Callable] = None,
+    seed: Optional[int] = None,
+):
+    """Per-event-folder archive → SeisBench dataset (reference
+    `volpick/data/convert.py:306-458`).
+
+    Each event directory under `src_dir` holds `event_info.csv` (origin
+    time/lat/lon/depth/magnitude/event_type), `picks.csv` (index = waveform
+    file name; network/station/instrument/latitude/longitude/elevation_m/
+    p_time/s_time/first_motion columns), mseed waveforms and StationXML
+    sidecars (`<name>.xml`). Per trace: ZNE rotation from the inventory
+    orientations, resample check to 100 Hz, spike flag, arrival-sample
+    conversion (status "USGS"), per-trace frequency index over
+    [P−1 s, P+6 s], random split, and a final per-source FI pass — same
+    metadata contract as convert_catalog_to_dataset. `loader` defaults to
+    the native miniSEED reader; injectable for tests.
+    """
+    from volpick_tpu.core.geo import gps2dist_azimuth
+    from volpick_tpu.core.rotate import rotate_to_zne
+    from volpick_tpu.io.stationxml import channel_orientations, read_stationxml
+
+    if loader is None:
+        from volpick_tpu.io.miniseed import read_mseed as loader
+
+    src_dir = Path(src_dir)
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    if seed is not None:
+        np.random.seed(seed)
+    sampling_rate = 100.0
+
+    metadata_path = dest_dir / "metadata.csv"
+    waveforms_path = dest_dir / "waveforms.hdf5"
+    with WaveformDataWriter(metadata_path, waveforms_path) as writer:
+        writer.data_format = {
+            "dimension_order": "CW",
+            "component_order": "ZNE",
+            "unit": "counts",
+            "instrument_response": "not restituted",
+        }
+        writer.bucket_size = bucket_size
+        for event_dir in sorted(x for x in src_dir.iterdir() if x.is_dir()):
+            info = pd.read_csv(event_dir / "event_info.csv", index_col=0).iloc[0]
+            event_params = {
+                "source_id": info["event_id"],
+                "source_origin_time": info["origin_time"],
+                "source_latitude_deg": info["hypo_lat"],
+                "source_longitude_deg": info["hypo_lon"],
+                "source_depth_km": info["hypo_depth"],
+                "source_magnitude": info["magnitude"],
+                "source_type": info["event_type"],
+            }
+            picks = pd.read_csv(event_dir / "picks.csv", index_col=0)
+            for fname, pick in picks.iterrows():
+                lat, lon = pick["latitude"], pick["longitude"]
+                if not np.isnan(lat * lon):
+                    back_azimuth = gps2dist_azimuth(
+                        event_params["source_latitude_deg"],
+                        event_params["source_longitude_deg"],
+                        lat, lon,
+                    )[2]
+                else:
+                    back_azimuth = np.nan
+                trace_params = {
+                    "station_network_code": pick["network"],
+                    "station_code": pick["station"],
+                    "trace_channel": pick["instrument"],
+                    "station_location_code": None,
+                    "station_latitude_deg": lat,
+                    "station_longitude_deg": lon,
+                    "station_elevation_m": pick.get("elevation_m"),
+                    "path_back_azimuth_deg": back_azimuth,
+                }
+                try:
+                    stream = loader(event_dir / fname)
+                except Exception as e:
+                    logger.warning(f"loader failed for {event_dir / fname}: {e}")
+                    continue
+                xml = event_dir / str(fname).replace("mseed", "xml")
+                if xml.exists() and len(stream) == 3:
+                    inv = read_stationxml(xml)
+                    ori = channel_orientations(
+                        inv, str(pick["network"]), str(pick["station"])
+                    )
+                    try:
+                        stream = rotate_to_zne(stream, ori)
+                    except (KeyError, ValueError) as e:
+                        logger.warning(f"rotation failed for {fname}: {e}")
+                if any(abs(tr.stats.sampling_rate - sampling_rate) > 1e-6 for tr in stream):
+                    logger.warning(
+                        f"inconsistent sampling rates in {event_dir.name}/{fname}; resampling"
+                    )
+                    for tr in stream:
+                        tr.resample(sampling_rate)
+                trace_params["trace_sampling_rate_hz"] = sampling_rate
+                sid = event_params["source_id"]
+                first = stream[0]
+                trace_params["trace_name"] = (
+                    f"{sid}_{first.stats.network}.{first.stats.station}."
+                    f"{first.stats.location}"
+                )
+                t_start, data, _ = stream_to_array(stream, "ZNE")
+                trace_params["trace_has_spikes"] = trace_has_spikes(data)
+                trace_params["trace_start_time"] = t_start.isoformat()
+                for ph in ("p", "s"):
+                    v = pick.get(f"{ph}_time")
+                    if v is not None and not pd.isna(v):
+                        sample = (UTC(v).timestamp - t_start.timestamp) * sampling_rate
+                        trace_params[f"trace_{ph}_arrival_sample"] = int(sample)
+                        trace_params[f"trace_{ph}_status"] = "USGS"
+                    else:
+                        trace_params[f"trace_{ph}_arrival_sample"] = None
+                        trace_params[f"trace_{ph}_status"] = None
+                trace_params["trace_p_first_motion"] = pick.get("first_motion")
+
+                # per-trace FI over [P-1 s, P+6 s] (S fallback), mean over
+                # non-flat components (`convert.py:419-440`)
+                ref = trace_params["trace_p_arrival_sample"] or trace_params[
+                    "trace_s_arrival_sample"
+                ]
+                fis = []
+                if ref:
+                    lo = max(int(ref - sampling_rate), 0)
+                    hi = int(ref + 6 * sampling_rate)
+                    for comp in data:
+                        if np.sum(np.abs(np.diff(comp))) > 1e-9:
+                            fi = _frequency_index_numpy(comp[lo:hi], 1.0 / sampling_rate)
+                            if not np.isnan(fi):
+                                fis.append(fi)
+                trace_params["trace_frequency_index"] = float(np.mean(fis)) if fis else np.nan
+                trace_params["split"] = np.random.choice(
+                    ["train", "dev", "test"], p=list(split_prob)
+                )
+                writer.add_trace({**event_params, **trace_params}, data)
+
+    # per-source frequency index pass (`convert.py:448-458`)
+    metadata = pd.read_csv(metadata_path)
+    fi_by_source = metadata.groupby("source_id")["trace_frequency_index"].mean()
+    metadata["source_frequency_index"] = metadata["source_id"].map(fi_by_source)
+    metadata.to_csv(metadata_path, index=False)
+    return dest_dir
