@@ -227,8 +227,7 @@ def stage_axes():
         picker = WaveformPicker(model, params, precision=precision)
 
         def fwd(v):
-            det, p, s = picker._apply_model(picker.params, v)
-            return det
+            return picker._apply_model(picker.params, v)[:, 0]  # (N, K, W) → det
 
         t = bench_loop(fwd, frames, iters_a=10, iters_b=110)
         results[f"forward_{precision}_windows_per_s"] = round(256 / t, 1)
@@ -236,10 +235,90 @@ def stage_axes():
     log(results)
 
 
+def stage_breakdown():
+    """Time the fused classify program stage by stage on the bench workload
+    to find where the gap between pure forward (~330k w/s) and fused
+    classify (~39k w/s) lives."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.signal import detrend_linear, normalize_amplitude
+    from volpick_tpu.ops.triggers import extract_triggers_batched
+    from volpick_tpu.ops.windows import frame_windows_uniform, overlap_stack_uniform
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    S, WINDOW, STRIDE, TOTAL, CHUNK = 8, 6000, 500, 120000, 256
+    N = (TOTAL - WINDOW) // STRIDE + 1  # 229 uniform windows
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(S, 3, TOTAL)).astype(np.float32)
+
+    def build(mode):
+        def run(params, d):
+            frames = frame_windows_uniform(d, N, STRIDE, WINDOW)
+            frames = jnp.moveaxis(frames, 0, 1).reshape(S * N, 3, WINDOW)
+            nf = S * N
+            pad = (-nf) % CHUNK
+            frames = jnp.pad(frames, ((0, pad), (0, 0), (0, 0))).reshape(-1, CHUNK, 3, WINDOW)
+
+            def cond(fr):
+                fr = detrend_linear(fr)
+                return normalize_amplitude(fr, norm="peak", per_channel=True)
+
+            if mode == "condition":
+                out = jax.lax.map(cond, frames)
+                return jnp.sum(out[..., ::997])
+
+            def fwd(fr):
+                det, p, s = model.apply(params, cond(fr))
+                return jnp.stack([det, p, s], axis=1)
+
+            preds = jax.lax.map(fwd, frames)
+            preds = preds.reshape(-1, 3, WINDOW)[:nf].reshape(S, N, 3, WINDOW)
+            if mode == "forward":
+                return jnp.sum(preds[..., ::997])
+            curves = jax.vmap(
+                lambda q: overlap_stack_uniform(q, STRIDE, blinding=(500, 500))
+            )(preds)[..., :TOTAL]
+            if mode == "stack":
+                return jnp.sum(curves[..., ::997])
+            flat = jnp.concatenate([curves[:, k] for k in range(3)], axis=0)
+            thr_rows = jnp.concatenate(
+                [jnp.full((S,), t, jnp.float32) for t in (0.10141666, 0.22, 0.22)]
+            )
+            return {"all": extract_triggers_batched(flat, thr_rows, max_picks=64)}
+
+        return jax.jit(run)
+
+    # chain iterations on device (fori_loop + scalar carry) so the tunnel
+    # RTT of fetching results does not masquerade as compute time — the
+    # async-dispatch wall-clock method under-reports by up to ~75 ms/iter
+    # of sequential device_get round trips
+    results = {"stage": "breakdown", "n_windows_per_iter": S * N}
+    for mode in ("condition", "forward", "stack", "full"):
+        run = build(mode)
+
+        def op(d, run=run):
+            out = run(params, d)
+            if isinstance(out, dict):  # full mode: reduce pick buffers
+                return jnp.stack(
+                    [jnp.sum(v[0].astype(jnp.float32)) for v in out.values()]
+                )
+            return out
+
+        t = bench_loop(op, data, iters_a=5, iters_b=55)
+        results[f"{mode}_ms_per_iter"] = round(t * 1000, 2)
+        results[f"{mode}_windows_per_s"] = round(S * N / t, 1)
+    log(results)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rescnn", action="store_true")
     ap.add_argument("--axes", action="store_true")
+    ap.add_argument("--breakdown", action="store_true")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -253,6 +332,8 @@ def main():
         stage_rescnn()
     elif args.axes:
         stage_axes()
+    elif args.breakdown:
+        stage_breakdown()
     else:
         stage_conditioning()
 

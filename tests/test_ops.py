@@ -326,3 +326,64 @@ class TestUniformStacking:
         ref = np.asarray(overlap_stack(jnp.asarray(preds), jnp.asarray(starts), total))
         got = np.asarray(overlap_stack_uniform(jnp.asarray(preds), stride))
         np.testing.assert_allclose(got[:, :total], ref, atol=1e-6)
+
+
+class TestFrameWindowsUniform:
+    def test_matches_gather_framing(self, rng):
+        import jax.numpy as jnp
+        from volpick_tpu.ops.windows import frame_windows, frame_windows_uniform
+
+        for (s, c, t, stride, window, n_win) in [
+            (2, 3, 1200, 100, 350, 9),
+            (1, 3, 6000, 500, 6000, 1),
+            (4, 3, 2000, 50, 400, 33),
+            (2, 1, 777, 111, 333, 5),   # window not a stride multiple
+        ]:
+            x = jnp.asarray(rng.normal(size=(s, c, t)).astype(np.float32))
+            starts = jnp.arange(n_win, dtype=jnp.int32) * stride
+            want = frame_windows(x, starts, window)
+            got = frame_windows_uniform(x, n_win, stride, window)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestPerRowThresholds:
+    def test_rowwise_equals_per_call(self, rng):
+        """One batched call with per-row thresholds == separate scalar calls."""
+        import jax.numpy as jnp
+        from volpick_tpu.ops.triggers import extract_triggers_batched
+
+        prob = rng.random((6, 3000)).astype(np.float32) ** 3  # sparse peaks
+        thr = np.array([0.3, 0.5, 0.7, 0.3, 0.9, 0.4], dtype=np.float32)
+        batched = extract_triggers_batched(jnp.asarray(prob), jnp.asarray(thr), max_picks=16)
+        for i in range(len(thr)):
+            single = extract_triggers_batched(
+                jnp.asarray(prob[i : i + 1]), float(thr[i]), max_picks=16
+            )
+            for a, b in zip(batched, single):
+                np.testing.assert_array_equal(np.asarray(a[i]), np.asarray(b[0]))
+
+    def test_fuzz_vs_oracle_batched(self):
+        """100 random curves, per-row thresholds, one batched call: triggers,
+        peaks, and values all match the numpy obspy-semantics oracle.
+        Regression net for the single-scan extractor (the off-index bug class:
+        indexing the compacted buffer with itself)."""
+        import jax.numpy as jnp
+        from volpick_tpu.ops.triggers import (
+            extract_triggers_batched,
+            picks_from_prob_numpy,
+            trigger_onset_numpy,
+        )
+
+        rng = np.random.default_rng(0)
+        n, b = 3000, 100
+        probs = rng.random((b, n)).astype(np.float32) ** rng.integers(1, 6, (b, 1))
+        thrs = rng.uniform(0.2, 0.9, b).astype(np.float32)
+        res = extract_triggers_batched(jnp.asarray(probs), jnp.asarray(thrs), max_picks=64)
+        PK, VAL, VALID, ON, OFF = (np.asarray(a) for a in res)
+        for i in range(b):
+            want = trigger_onset_numpy(probs[i], thrs[i], thrs[i] / 2)
+            got = [(int(o), int(f)) for o, f, v in zip(ON[i], OFF[i], VALID[i]) if v]
+            assert got == want[:64]
+            wpk, wval = picks_from_prob_numpy(probs[i], float(thrs[i]))
+            gpk = [int(x) for x, v in zip(PK[i], VALID[i]) if v]
+            assert gpk == list(wpk[:64])

@@ -120,86 +120,103 @@ def extract_picks_batched(
 
 def extract_triggers_batched(
     prob: jnp.ndarray,
-    thres1: float,
-    thres2: float | None = None,
+    thres1,
+    thres2=None,
     max_picks: int = 32,
 ):
     """Full on-device trigger extraction: returns
     (peak_idx, peak_value, valid, onset_idx, offset_idx), each (B, max_picks).
     onset/offset are the trigger's [on, off] bounds (off = last index of the
-    >thres2 run, inclusive — obspy convention)."""
+    >thres2 run, inclusive -- obspy convention).
+
+    thres1/thres2 may be scalars or per-row (B,) arrays, so heterogeneous
+    channels (P/S/detection with different thresholds) batch into ONE call.
+
+    The whole per-run reduction -- "has the run seen a >thres1 sample", the
+    first such index (onset), and the max value/argmax over [onset, run_end]
+    (the reference slices prob[s0 : s1 + 1], `eval_taks0.py:46-56`) -- runs
+    as a SINGLE segmented associative scan. The post-onset max stays
+    associative by carrying both the segment-wide max (m_all) and the
+    post-onset max (m_post): combining L then R, the searchable region of
+    the pair is L's post-onset part plus ALL of R whenever L already holds
+    the onset, hence m_post = max(L.m_post, R.m_all). One scan replaces the
+    previous chain of four (seen1 -> onset -> searchable -> max/argmax ->
+    onset propagation), which dominated the fused classify profile
+    (docs/TPU_PROBE.jsonl breakdown stage).
+    """
     if thres2 is None:
-        thres2 = thres1 / 2.0
+        thres2 = jnp.asarray(thres1) / 2.0
     b, w = prob.shape
-    above2 = prob > thres2
-    above1 = prob > thres1
+    t1 = jnp.asarray(thres1, dtype=prob.dtype).reshape(-1, 1)  # (1|B, 1)
+    t2 = jnp.asarray(thres2, dtype=prob.dtype).reshape(-1, 1)
+    above2 = prob > t2
+    above1 = prob > t1
 
     prev2 = jnp.pad(above2[:, :-1], ((0, 0), (1, 0)), constant_values=False)
     run_start = above2 & ~prev2  # first sample of each >thres2 run
     next2 = jnp.pad(above2[:, 1:], ((0, 0), (0, 1)), constant_values=False)
     run_end = above2 & ~next2  # last sample of each run
 
-    # First >thres1 sample within each run: above1 and no earlier above1 in run.
-    seen1 = _segmented_scan_or(above1, run_start)  # inclusive: any above1 so far in run
-    prev_seen1 = jnp.pad(seen1[:, :-1], ((0, 0), (1, 0)), constant_values=False)
-    # reset prev_seen1 at run starts (the previous value belongs to the old run)
-    prev_seen1 = jnp.where(run_start, False, prev_seen1)
-    onset = above1 & ~prev_seen1 & above2  # one per qualifying run
-
-    # Peak within [onset, run_end): forward segmented argmax restricted to >= onset.
-    # Track running (max value, argmax index) within each run, counting only
-    # samples at/after the onset, and excluding the run-end sample itself
-    # (reference slices prob[on:off] with off exclusive) unless the run has
-    # length 1 after the onset.
     pos = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (b, w))
-    # peak search covers [onset, run_end] inclusive (the reference slices
-    # prob[s0 : s1 + 1], `eval_taks0.py:46-56`)
-    searchable = _segmented_scan_or(onset, run_start)  # at/after onset within run
     neg_inf = jnp.array(-jnp.inf, dtype=prob.dtype)
-    vals = jnp.where(searchable, prob, neg_inf)
 
-    def combine(a, b):
-        a_flag, a_val, a_idx = a
-        b_flag, b_val, b_idx = b
-        # If b opens a new segment, a's state is discarded; otherwise keep the
-        # running max with first-occurrence tie-breaking (strict >, like argmax).
-        use_b = b_flag | (b_val > a_val)
+    # per-element state: (segment flag, seen >t1, onset idx, m_all, am_all,
+    # m_post, am_post); values outside runs are -inf so they never win
+    in_run = above2
+    val = jnp.where(in_run, prob, neg_inf)
+    seen0 = above1 & in_run
+    onset0 = jnp.where(seen0, pos, 0)
+    m_post0 = jnp.where(seen0, val, neg_inf)  # the onset sample is searchable
+    am_post0 = pos
+
+    def combine(a, c):
+        (af, a_seen, a_on, a_mall, a_amall, a_mpost, a_ampost) = a
+        (cf, c_seen, c_on, c_mall, c_amall, c_mpost, c_ampost) = c
+        # segment-wide max with first-occurrence tie-break (strict >)
+        use_c = c_mall > a_mall
+        mall = jnp.where(use_c, c_mall, a_mall)
+        amall = jnp.where(use_c, c_amall, a_amall)
+        # onset: first seen wins
+        on = jnp.where(a_seen, a_on, c_on)
+        # post-onset max: when the left half holds the onset, the searchable
+        # region continues through ALL of the right half
+        r_val = jnp.where(a_seen, c_mall, c_mpost)
+        r_idx = jnp.where(a_seen, c_amall, c_ampost)
+        use_r = r_val > a_mpost
+        mpost = jnp.where(use_r, r_val, a_mpost)
+        ampost = jnp.where(use_r, r_idx, a_ampost)
+        seen = a_seen | c_seen
+        # right opens a new segment: discard the left state entirely
         return (
-            a_flag | b_flag,
-            jnp.where(use_b, b_val, a_val),
-            jnp.where(use_b, b_idx, a_idx),
+            af | cf,
+            jnp.where(cf, c_seen, seen),
+            jnp.where(cf, c_on, on),
+            jnp.where(cf, c_mall, mall),
+            jnp.where(cf, c_amall, amall),
+            jnp.where(cf, c_mpost, mpost),
+            jnp.where(cf, c_ampost, ampost),
         )
 
-    _, run_max, run_argmax = jax.lax.associative_scan(
-        combine, (run_start, vals, pos), axis=-1
+    (_, seen, onset_idx, _, _, run_max, run_argmax) = jax.lax.associative_scan(
+        combine,
+        (run_start, seen0, onset0, val, pos, m_post0, am_post0),
+        axis=-1,
     )
-    # At each run_end with a qualifying onset, (run_max, run_argmax) hold the
-    # peak. Note argmax ties resolve to the *first* max (strict > comparison),
-    # matching numpy argmax.
-    emit = run_end & _segmented_scan_or(onset, run_start)
+    emit = run_end & seen
 
-    # Propagate each run's onset index to its run_end for trigger bounds.
-    def combine_first(a, b):
-        a_flag, a_has, a_idx = a
-        b_flag, b_has, b_idx = b
-        has = jnp.where(b_flag, b_has, a_has | b_has)
-        idx = jnp.where(b_flag, b_idx, jnp.where(a_has, a_idx, b_idx))
-        return (a_flag | b_flag, has, idx)
-
-    _, _, onset_idx = jax.lax.associative_scan(
-        combine_first, (run_start, onset, jnp.where(onset, pos, 0)), axis=-1
-    )
-
-    # Compact: take the first max_picks emitted picks per row.
-    order = jnp.where(emit, pos, w)  # non-emitting positions sort last
-    top = jnp.sort(order, axis=-1)[:, :max_picks]  # earliest emissions
+    # Compact: take the first max_picks emitted picks per row. top_k of the
+    # negated positions (descending) == the k smallest == earliest emissions;
+    # a full sort of the (B, W) position array dominated the trigger stage's
+    # wall time on TPU (docs/TPU_PROBE.jsonl breakdown stage).
+    order = jnp.where(emit, pos, w)  # non-emitting positions rank last
+    top = -jax.lax.top_k(-order, max_picks)[0]
     valid = top < w
     top_safe = jnp.where(valid, top, 0)
     take = lambda a: jnp.take_along_axis(a, top_safe, axis=-1)
     pick_idx = jnp.where(valid, take(run_argmax), -1)
     pick_val = jnp.where(valid, take(jnp.where(run_max == neg_inf, 0.0, run_max)), 0.0)
     on_idx = jnp.where(valid, take(onset_idx), -1)
-    off_idx = jnp.where(valid, top, -1)  # emission position == run end (inclusive)
+    off_idx = jnp.where(valid, top, -1)  # emission position == run end
     return (
         pick_idx.astype(jnp.int32),
         pick_val.astype(prob.dtype),

@@ -56,6 +56,37 @@ def frame_windows(x: jnp.ndarray, starts: jnp.ndarray, window: int) -> jnp.ndarr
     return jax.vmap(one)(starts)
 
 
+def frame_windows_uniform(
+    x: jnp.ndarray, n_win: int, stride: int, window: int
+) -> jnp.ndarray:
+    """Gather-free framing for uniformly strided windows (starts = i·stride).
+
+    x: (..., C, T) → (N, ..., C, window). With m = ceil(window/stride), the
+    input reshapes into stride-blocks and window i is the concatenation of
+    blocks [i, i+m) — m contiguous strided copies instead of a gather, which
+    runs at HBM bandwidth where XLA's gather of overlapping slices does not
+    (docs/TPU_PROBE.jsonl breakdown stage). Exact same output as
+    ``frame_windows(x, arange(n_win)*stride, window)``.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    m = -(-window // stride)
+    lead = x.shape[:-1]
+    t = x.shape[-1]
+    nb = max(-(-t // stride), n_win - 1 + m)
+    pad = nb * stride - t
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = x.reshape(lead + (nb, stride))
+    parts = [
+        jax.lax.slice_in_dim(xb, i, i + n_win, axis=x.ndim - 1) for i in range(m)
+    ]
+    fr = jnp.stack(parts, axis=-2)  # (..., n_win, m, stride)
+    fr = fr.reshape(lead + (n_win, m * stride))[..., :window]
+    # (..., N, window) → (N, ..., window)
+    return jnp.moveaxis(fr, -2, 0)
+
+
 def overlap_stack(
     preds: jnp.ndarray,
     starts: jnp.ndarray,

@@ -37,6 +37,7 @@ from volpick_tpu.ops.signal import demean, detrend_linear, normalize_amplitude
 from volpick_tpu.ops.triggers import extract_triggers_batched
 from volpick_tpu.ops.windows import (
     frame_windows,
+    frame_windows_uniform,
     overlap_stack,
     overlap_stack_uniform,
     window_starts,
@@ -173,14 +174,16 @@ class WaveformPicker:
         def run(params, data, starts):
             s, c = data.shape[0], data.shape[1]
             if use_uniform:
-                # derive starts from the stride (+ static flush) so framing
-                # and stacking can never disagree about window placement
-                starts = jnp.arange(n_uni, dtype=jnp.int32) * stride
+                # gather-free framing on the uniform grid; the (static)
+                # flush window is one extra contiguous slice
+                frames = frame_windows_uniform(data, n_uni, stride, window)
                 if flush_start is not None:
-                    starts = jnp.concatenate(
-                        [starts, jnp.array([flush_start], dtype=jnp.int32)]
+                    fl = jax.lax.slice_in_dim(
+                        data, flush_start, flush_start + window, axis=-1
                     )
-            frames = frame_windows(data, starts, window)  # (N, S, C, window)
+                    frames = jnp.concatenate([frames, fl[None]], axis=0)
+            else:
+                frames = frame_windows(data, starts, window)  # (N, S, C, window)
             frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
             n_frames = s * n_win
             pad = (-n_frames) % chunk
@@ -230,14 +233,22 @@ class WaveformPicker:
                 curves = jax.vmap(
                     lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
                 )(preds)  # (S, K, total)
+            # all triggerable channels extract in ONE batched call with
+            # per-row thresholds (the single-scan extractor dominates the
+            # profile; see docs/TPU_PROBE.jsonl breakdown stage)
+            trig = [
+                (label, ki, thr)
+                for ki, (label, thr) in enumerate(zip(channels, thresholds))
+                if label != "N"  # noise channel is never triggered on
+            ]
+            flat = jnp.concatenate([curves[:, ki] for _, ki, _ in trig], axis=0)
+            thr_rows = jnp.concatenate(
+                [jnp.full((s,), t, dtype=flat.dtype) for _, _, t in trig]
+            )
+            res = extract_triggers_batched(flat, thr_rows, max_picks=max_picks)
             out = {}
-            for label, thr in zip(channels, thresholds):
-                if label == "N":  # noise channel is never triggered on
-                    continue
-                ki = channels.index(label)
-                out[label] = extract_triggers_batched(
-                    curves[:, ki], thr, max_picks=max_picks
-                )
+            for j, (label, _, _) in enumerate(trig):
+                out[label] = tuple(a[j * s : (j + 1) * s] for a in res)
             return out
 
         if self.mesh is not None:
