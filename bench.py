@@ -42,7 +42,16 @@ def _make_stream_array(rng):
     return data
 
 
-def _tpu_throughput(n_iter: int = 12):
+def _tpu_throughput(iters_a: int = 4, iters_b: int = 24):
+    """Device throughput of the fused classify program.
+
+    Iterations chain on device through a scalar carry (fori_loop), and the
+    per-iteration time is the wall-clock difference between an iters_b and
+    an iters_a loop — so the axon tunnel's per-call round trips (which a
+    production deployment does not pay) cancel out of the measurement while
+    every compute stage (frame → condition → forward → stack → trigger)
+    remains on the timed path via the carried reduction of the pick buffers.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -74,16 +83,33 @@ def _tpu_throughput(n_iter: int = 12):
     d = jnp.asarray(data)
     st = jnp.asarray(starts)
     out = run(picker.params, d, st)
-    _ = jax.device_get(out)  # compile + warm
+    n_picks = int(np.asarray(out["P"][2]).sum())
 
-    t0 = time.perf_counter()
-    handles = []
-    for _ in range(n_iter):
-        handles.append(run(picker.params, d, st))
-    picks = [jax.device_get(h) for h in handles]  # forces completion of all
-    dt = time.perf_counter() - t0
-    n_picks = int(picks[-1]["P"][2].sum())
-    return STATIONS * n_win * n_iter / dt, n_picks
+    def make_loop(iters):
+        @jax.jit
+        def loop(d):
+            def body(i, carry):
+                res = run(picker.params, d + carry * 1e-30, st)
+                tot = sum(jnp.sum(v[1]) for v in res.values())  # peak values
+                return tot * 1e-6 + carry * 0.5
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return loop
+
+    la, lb = make_loop(iters_a), make_loop(iters_b)
+    float(jax.device_get(la(d)))
+    float(jax.device_get(lb(d)))
+
+    def t(loop):
+        t0 = time.perf_counter()
+        _ = float(jax.device_get(loop(d)))
+        return time.perf_counter() - t0
+
+    ta = min(t(la) for _ in range(2))
+    tb = min(t(lb) for _ in range(2))
+    per_iter = max(tb - ta, 1e-9) / (iters_b - iters_a)
+    return STATIONS * n_win / per_iter, n_picks
 
 
 def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
