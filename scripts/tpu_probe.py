@@ -314,11 +314,52 @@ def stage_breakdown():
     log(results)
 
 
+def stage_chunks():
+    """Sweep the lax.map forward chunk size of the full fused classify."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    S, WINDOW, OVERLAP = 8, 6000, 5500
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(S, 3, 120000)).astype(np.float32)
+    total = data.shape[-1]
+    starts = window_starts(total, WINDOW, OVERLAP)
+    n_win = len(starts)
+    picker = WaveformPicker(model, params)
+    d = jnp.asarray(data)
+    st = jnp.asarray(starts)
+    for chunk in (512, 1832):  # 256 is the measured default baseline
+        run = picker._fused_classify_fn(
+            S, n_win, total, (500, 500), "avg",
+            (0.10141666, 0.22, 0.22), 64, chunk, stride=WINDOW - OVERLAP,
+        )
+
+        def op(x, run=run):
+            res = run(picker.params, x, st)
+            return jnp.stack([jnp.sum(v[1]) for v in res.values()])
+
+        try:
+            t = bench_loop(op, data, iters_a=4, iters_b=24)
+            log({"stage": "chunks", "chunk": chunk, "n_windows": S * n_win,
+                 "windows_per_s": round(S * n_win / t, 1)})
+        except Exception as e:
+            log({"stage": "chunks", "chunk": chunk,
+                 "error": f"{type(e).__name__}: {e}"[:200]})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rescnn", action="store_true")
     ap.add_argument("--axes", action="store_true")
     ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--chunks", action="store_true")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -334,6 +375,8 @@ def main():
         stage_axes()
     elif args.breakdown:
         stage_breakdown()
+    elif args.chunks:
+        stage_chunks()
     else:
         stage_conditioning()
 

@@ -222,3 +222,46 @@ class TestAnalysisProfiling:
 
         plot_spectrum(rng.normal(size=(3, 1000)), 100.0, save_path=tmp_path / "s.png")
         assert (tmp_path / "s.png").exists()
+
+
+class TestBatchQCPlots:
+    def test_table_driven_batches(self, tmp_path, rng):
+        """plot_waveforms/plot_spectra/plot_spectrograms: one jpg per row,
+        saved under <data_dir>_fig (reference `volpick/data/utils.py:203-573`)."""
+        import pandas as pd
+
+        from volpick_tpu.core.stream import Stream, Trace, UTC
+        from volpick_tpu.io.miniseed import write_mseed
+        from volpick_tpu.utils.plotting import (
+            plot_spectra,
+            plot_spectrograms,
+            plot_waveforms,
+        )
+
+        data_dir = tmp_path / "mseed"
+        data_dir.mkdir()
+        rows = []
+        t0 = UTC("2024-03-01T00:00:00")
+        for i in range(2):
+            st = Stream([
+                Trace(rng.normal(size=2000), dict(network="AV", station=f"Q{i}",
+                                                  channel=f"BH{c}", sampling_rate=100.0,
+                                                  starttime=t0))
+                for c in "ZNE"
+            ])
+            name = f"ev{i}_AV.Q{i}"
+            write_mseed(st, data_dir / f"{name}.mseed")
+            rows.append({
+                "trace_name": name,
+                "trace_p_arrival_time": (t0 + 8.0).isoformat(),
+                "trace_s_arrival_time": (t0 + 11.0).isoformat(),
+            })
+        table = pd.DataFrame(rows)
+        for fn in (plot_waveforms, plot_spectra, plot_spectrograms):
+            paths = fn(table, data_dir, [0, 1], fig_dir=tmp_path / fn.__name__)
+            assert len(paths) == 2
+            assert all(p.exists() and p.stat().st_size > 0 for p in paths)
+        import pytest
+
+        with pytest.raises(KeyError):
+            plot_waveforms(table, data_dir, [5])

@@ -198,3 +198,137 @@ def plot_prediction_examples(
             plt.close(fig)
         figs.append(fig)
     return figs
+
+
+# ------------------------------------------------------- batch table plotters
+def _batch_qc(waveform_table, data_dir, indices, fig_dir, loader, render, suffix):
+    """Shared driver for the table-driven QC figure batches (reference
+    `volpick/data/utils.py:203-573`): per selected row, load
+    `<data_dir>/<trace_name>` (mseed via the native reader by default),
+    render one figure, save it under `<data_dir>_fig/` as jpg."""
+    data_dir = Path(data_dir)
+    if fig_dir is None:
+        fig_dir = data_dir.parent / f"{data_dir.name}_fig"
+    fig_dir = Path(fig_dir)
+    fig_dir.mkdir(parents=True, exist_ok=True)
+    if loader is None:
+        from volpick_tpu.io.miniseed import read_mseed as loader
+    if max(indices) >= len(waveform_table):
+        raise KeyError(
+            f"The maximum requested index {max(indices)} is larger than the "
+            f"number of rows ({len(waveform_table)})"
+        )
+    out_paths = []
+    for i in indices:
+        md = waveform_table.iloc[i]
+        name = str(md["trace_name"])
+        path = data_dir / name
+        if not path.exists() and (data_dir / f"{name}.mseed").exists():
+            path = data_dir / f"{name}.mseed"
+        stream = loader(path)
+        fig = render(stream, md)
+        stem = name.rsplit("/", 1)[-1]
+        stem = stem[: -len(".mseed")] if stem.endswith(".mseed") else stem
+        path = fig_dir / f"{stem}.jpg"
+        fig.savefig(path, bbox_inches="tight", dpi=150)
+        _mpl().close(fig)
+        out_paths.append(path)
+    return out_paths
+
+
+def _pick_times(md):
+    import pandas as pd
+
+    from volpick_tpu.core.stream import UTC
+
+    picks = []
+    for col, label, color in (
+        ("trace_p_arrival_time", "P", "blue"),
+        ("trace_s_arrival_time", "S", "red"),
+    ):
+        v = md.get(col)
+        if v is not None and not pd.isna(v):
+            picks.append((UTC(v).timestamp, label, color))
+    return picks
+
+
+def plot_waveforms(waveform_table, data_dir, indices, fig_dir=None, loader=None):
+    """Batch per-trace waveform figures with P/S pick markers (reference
+    `plot_waveforms`, `volpick/data/utils.py:203-300`)."""
+    plt = _mpl()
+
+    def render(stream, md):
+        picks = _pick_times(md)
+        t0 = min(tr.stats.starttime.timestamp for tr in stream)
+        fig, axes = plt.subplots(len(stream), 1, figsize=(8, 2.2 * len(stream)),
+                                 sharex=True, squeeze=False)
+        for k, tr in enumerate(stream):
+            ax = axes[k][0]
+            t = tr.stats.starttime.timestamp - t0 + np.arange(tr.stats.npts) / tr.stats.sampling_rate
+            ax.plot(t, tr.data, "k", lw=0.7, label=tr.id)
+            for ts, label, color in picks:
+                ax.axvline(ts - t0, color=color, label=label)
+            ax.legend(fontsize=8)
+        axes[-1][0].set_xlabel("time (s)")
+        return fig
+
+    return _batch_qc(waveform_table, data_dir, indices, fig_dir, loader, render, "wave")
+
+
+def plot_spectra(waveform_table, data_dir, indices, fig_dir=None, loader=None):
+    """Batch waveform + amplitude-spectrum panels (reference `plot_spectrum`,
+    `volpick/data/utils.py:302-435`)."""
+    plt = _mpl()
+
+    def render(stream, md):
+        picks = _pick_times(md)
+        t0 = min(tr.stats.starttime.timestamp for tr in stream)
+        n = len(stream)
+        fig, axes = plt.subplots(n, 2, figsize=(11, 2.2 * n), squeeze=False)
+        for k, tr in enumerate(stream):
+            t = tr.stats.starttime.timestamp - t0 + np.arange(tr.stats.npts) / tr.stats.sampling_rate
+            axes[k][0].plot(t, tr.data, "k", lw=0.5)
+            for ts, label, color in picks:
+                axes[k][0].axvline(ts - t0, color=color, label=label)
+            axes[k][0].text(0.97, 0.02, tr.id, transform=axes[k][0].transAxes,
+                            ha="right", va="bottom", fontsize=8)
+            data = np.asarray(tr.data, dtype=np.float64)
+            win = np.hanning(len(data))
+            freqs = np.fft.rfftfreq(len(data), 1.0 / tr.stats.sampling_rate)
+            spec = np.abs(np.fft.rfft(data * win))
+            keep = freqs > 0.1
+            axes[k][1].semilogx(freqs[keep], spec[keep], color="blue", lw=0.5)
+            axes[k][1].axvline(1, color="gray")
+            axes[k][1].yaxis.tick_right()
+        axes[0][0].set_title("Time series")
+        axes[0][1].set_title("Amplitude spectrum")
+        axes[-1][0].set_xlabel("time (s)")
+        axes[-1][1].set_xlabel("Frequency (Hz)")
+        return fig
+
+    return _batch_qc(waveform_table, data_dir, indices, fig_dir, loader, render, "spec")
+
+
+def plot_spectrograms(waveform_table, data_dir, indices, fig_dir=None, loader=None):
+    """Batch waveform + spectrogram panels (reference `plot_spectrogram`,
+    `volpick/data/utils.py:437-573`)."""
+    plt = _mpl()
+
+    def render(stream, md):
+        picks = _pick_times(md)
+        t0 = min(tr.stats.starttime.timestamp for tr in stream)
+        n = len(stream)
+        fig, axes = plt.subplots(2 * n, 1, figsize=(8, 2.0 * 2 * n), sharex=True)
+        axes = np.atleast_1d(axes)
+        for k, tr in enumerate(stream):
+            t = tr.stats.starttime.timestamp - t0 + np.arange(tr.stats.npts) / tr.stats.sampling_rate
+            axes[2 * k].plot(t, tr.data, "k", lw=0.5, label=tr.id)
+            for ts, label, color in picks:
+                axes[2 * k].axvline(ts - t0, color=color, label=label)
+            axes[2 * k].legend(fontsize=8)
+            spectrogram(np.asarray(tr.data, np.float64), tr.stats.sampling_rate,
+                        ax=axes[2 * k + 1])
+        axes[-1].set_xlabel("time (s)")
+        return fig
+
+    return _batch_qc(waveform_table, data_dir, indices, fig_dir, loader, render, "sgram")
