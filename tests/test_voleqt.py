@@ -139,3 +139,21 @@ class TestClassify:
                               detection_threshold=0.95, overlap=800, batch_size=8)
         # untrained net near 0.5 everywhere: no picks above 0.95, no crash
         assert isinstance(len(out.picks), int)
+
+
+class TestNativeExport:
+    def test_export_reload_roundtrip(self, small_model, small_params, tmp_path):
+        """Native .json.v1/.npz.v1 export identifies the 4-head architecture
+        (the EQT variants share kwargs, so the meta carries it explicitly)."""
+        import json
+
+        import jax
+        from volpick_tpu.train.model_io import export_pretrained, load_pretrained_npz
+
+        out = export_pretrained(small_model, small_params, tmp_path, name="t")
+        meta = json.load(open(out / "t.json.v1"))
+        assert meta["architecture"] == "voleqtransformer"
+        m2, p2 = load_pretrained_npz(out / "t.json.v1", out / "t.npz.v1")
+        assert m2.name == "VolEQTransformer"
+        for a, b in zip(jax.tree_util.tree_leaves(small_params), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

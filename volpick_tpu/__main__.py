@@ -111,7 +111,7 @@ def main(argv=None):
 
     p = sub.add_parser("pick", help="pick phases on waveform files")
     p.add_argument("files", nargs="+", help="miniSEED or SAC files")
-    p.add_argument("--model", default="eqtransformer", choices=["phasenet", "eqtransformer", "tpupicknet"])
+    p.add_argument("--model", default="eqtransformer", choices=["phasenet", "eqtransformer", "voleqtransformer", "tpupicknet"])
     p.add_argument("--weights", default="volpick", help="pretrained weight name")
     p.add_argument("--overlap", type=int, default=None)
     p.add_argument("--blinding", type=int, nargs=2, default=(500, 500))

@@ -18,12 +18,13 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from volpick_tpu.models.eqtransformer import EQTransformer
+from volpick_tpu.models.eqtransformer import EQTransformer, VolEQTransformer
 from volpick_tpu.models.phasenet import PhaseNet
 from volpick_tpu.models.tpupicknet import TPUPickNet
 from volpick_tpu.models.torch_import import import_eqtransformer, import_phasenet
 
-_ARCHS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
+_ARCHS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer,
+          "voleqtransformer": VolEQTransformer, "tpupicknet": TPUPickNet}
 
 _DEFAULT_SEARCH = [
     os.environ.get("VOLPICK_TPU_MODELS", ""),

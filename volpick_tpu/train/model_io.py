@@ -19,10 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
+from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet, VolEQTransformer
 from volpick_tpu.train.checkpoints import find_best_checkpoint, load_checkpoint
 
-_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer, "tpupicknet": TPUPickNet}
+_MODELS = {"phasenet": PhaseNet, "eqtransformer": EQTransformer,
+           "voleqtransformer": VolEQTransformer, "tpupicknet": TPUPickNet}
 
 
 def load_best_model(
@@ -74,6 +75,7 @@ def export_pretrained(
     cfg.pop("name", None)
     meta = {
         "docstring": docstring,
+        "architecture": arch,  # authoritative; key sniffing is the fallback
         "model_args": cfg,
         "version": "1",
         "format": "volpick_tpu_npz",
@@ -109,12 +111,16 @@ def load_pretrained_npz(json_path, npz_path):
     for k, v in list(margs.items()):
         if isinstance(v, list):
             margs[k] = tuple(v)
-    if "d_model" in margs:
-        arch = "tpupicknet"
-    elif "lstm_blocks" in margs:
-        arch = "eqtransformer"
-    else:
-        arch = "phasenet"
+    arch = str(meta.get("architecture", "")).lower()
+    if arch not in _MODELS:
+        # legacy exports carry no architecture field: sniff by kwargs
+        # (cannot distinguish the EQT variants — they share kwargs)
+        if "d_model" in margs:
+            arch = "tpupicknet"
+        elif "lstm_blocks" in margs:
+            arch = "eqtransformer"
+        else:
+            arch = "phasenet"
     model = _MODELS[arch](default_args=dict(meta.get("default_args", {})), **margs)
     template = model.init(jax.random.PRNGKey(0))
     data = np.load(npz_path)
