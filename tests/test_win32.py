@@ -34,6 +34,9 @@ class TestRoundTrip:
         n = 300  # 3 s at 100 Hz
         steps = rng.integers(-amplitude, amplitude + 1, size=n)
         data = np.cumsum(steps).astype(np.float64)
+        # the format carries int32 counts: keep the random walk in range
+        # (the writer rejects out-of-range data loudly)
+        assert np.abs(data).max() < 2**31, "test fixture drifted out of int32"
         tr = make_trace(data, t0=1_700_000_000.0)
         write_win32(Stream([tr]), tmp_path / "a.cnt")
         raw = (tmp_path / "a.cnt").read_bytes()
@@ -201,3 +204,12 @@ class TestJapanEndToEnd:
         ])
         log = convert_win32_event_dirs(tmp_path, df)
         assert list(log["error"]) == ["NoEventDirectory"]
+
+
+class TestInt32Contract:
+    def test_out_of_range_counts_rejected(self, tmp_path):
+        """Samples beyond int32 must raise, not wrap by 2^32 on decode."""
+        data = np.array([0.0, 2.0**31 + 10], dtype=np.float64)
+        tr = make_trace(np.pad(data, (0, 98)), sr=100.0)
+        with pytest.raises(ValueError, match="int32"):
+            write_win32(Stream([tr]), tmp_path / "o.cnt")

@@ -246,6 +246,13 @@ def write_win32(
             next_id += 1
         chan = chan_ids[tr.id]
         data = np.round(np.asarray(tr.data, dtype=np.float64)).astype(np.int64)
+        # WIN32 carries int32 counts; silently wrapping would corrupt the
+        # decoded samples by multiples of 2^32
+        if len(data) and (data.max() >= 2**31 or data.min() < -(2**31)):
+            raise ValueError(
+                f"{tr.id}: samples exceed the WIN32 int32 count range "
+                f"(min {data.min()}, max {data.max()})"
+            )
         n_sec = int(math.ceil(len(data) / n))
         for s in range(n_sec):
             seg = data[s * n : (s + 1) * n]
