@@ -191,6 +191,25 @@ class TestSteeredDevicePath:
             np.testing.assert_allclose(x_dev, x_host, atol=2e-6)
 
     @needs_weights
+    def test_evaluate_sweep_equals_per_threshold(self, ds, tmp_path):
+        """The single-pass all-thresholds device sweep produces exactly the
+        pick lists of the per-threshold evaluate() path."""
+        from volpick_tpu.eval.task0 import evaluate, evaluate_sweep
+        from volpick_tpu.models import from_pretrained
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        targets = generate_task0(ds, tmp_path / "t")
+        targets = targets[targets["trace_split"] == "test"].reset_index(drop=True)
+        thresholds = (0.2, 0.4, 0.7)
+        sweep = evaluate_sweep(model, params, ds, targets, thresholds, batch_size=16)
+        for thr, (p_s, s_s) in zip(thresholds, sweep):
+            p_e, s_e = evaluate(model, params, ds, targets, thr, batch_size=16)
+            for a, b in zip(p_s, p_e):
+                np.testing.assert_array_equal(np.sort(a), np.sort(b))
+            for a, b in zip(s_s, s_e):
+                np.testing.assert_array_equal(np.sort(a), np.sort(b))
+
+    @needs_weights
     def test_chunked_sweep_equals_unchunked(self, ds, tmp_path):
         from volpick_tpu.models import from_pretrained
 

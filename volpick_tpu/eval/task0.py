@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from volpick_tpu.ops.triggers import extract_picks_batched
+from volpick_tpu.ops.triggers import extract_picks_batched, extract_triggers_batched
 from volpick_tpu.pipeline.generator import (
     RawBatchSource,
     steered_frames,
@@ -247,6 +247,93 @@ def evaluate(
     return results["P"], results["S"]
 
 
+def evaluate_sweep(
+    model,
+    params,
+    dataset,
+    targets: pd.DataFrame,
+    prob_thresholds: Sequence[float],
+    batch_size: int = 256,
+    max_picks: int = 64,
+) -> List[Tuple[List[np.ndarray], List[np.ndarray]]]:
+    """All thresholds' P/S pick lists in ONE device pass per batch.
+
+    frame → condition → forward → region mask → trigger extraction for every
+    threshold (per-row thresholds, one batched call) compile into a single
+    program; only (n_thr, B, max_picks) pick buffers leave the device. The
+    probability curves never reach the host — over a slow host↔device link
+    this is the difference between minutes and an hour for a benchmark-scale
+    sweep, and host memory no longer scales with the window count.
+
+    Returns a list of (p_picks, s_picks) pairs aligned with
+    `prob_thresholds`, with the same per-window pick lists `evaluate`
+    produces (equality-tested in tests/test_eval.py).
+    """
+    is_eqt = model.name in ("EQTransformer", "VolEQTransformer")
+    window = model.in_samples
+    chans = _phase_channels(model)
+    kis = (chans["P"], chans["S"])
+    thr = np.asarray(list(prob_thresholds), dtype=np.float32)
+    n_thr = len(thr)
+
+    @jax.jit
+    def run(params, x_raw, w0, borders):
+        frames = steered_frames(x_raw, w0, window, detrend=is_eqt, norm=model.norm)
+        out = model.apply(params, frames)
+        preds = jnp.stack(out, axis=1) if isinstance(out, tuple) else out
+        t = jnp.arange(window)[None, :]
+        region = (t >= borders[:, :1]) & (t < borders[:, 1:2])
+        res = []
+        for ki in kis:
+            prob = preds[:, ki] * region  # (B, W)
+            flat = jnp.tile(prob, (n_thr, 1))  # rows [thr0·B, thr1·B, ...]
+            thr_rows = jnp.repeat(jnp.asarray(thr), prob.shape[0])
+            idx, _, valid, _, _ = extract_triggers_batched(
+                flat, thr_rows, max_picks=max_picks
+            )
+            res.append((idx.reshape(n_thr, -1, max_picks),
+                        valid.reshape(n_thr, -1, max_picks)))
+        return res
+
+    src = RawBatchSource(dataset)
+    idxs = targets["trace_idx"].to_numpy()
+    ss = targets["start_sample"].to_numpy()
+    es = targets["end_sample"].to_numpy()
+    n = len(targets)
+    parts = {ph: ([], []) for ph in ("P", "S")}
+    w0_all = []
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        batch = src.take(idxs[lo:hi])
+        w0, borders = steered_window_offsets(batch["len"], ss[lo:hi], es[lo:hi], window)
+        w0_all.append(borders[:, 0])
+        x = batch["x"]
+        pad = batch_size - (hi - lo)
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            w0 = np.concatenate([w0, np.zeros(pad, dtype=w0.dtype)])
+            borders = np.concatenate([borders, np.tile([[0, window]], (pad, 1))])
+        res = run(params, jnp.asarray(x), jnp.asarray(w0), jnp.asarray(borders))
+        for (phase, _), (idx, valid) in zip(chans.items(), res):
+            parts[phase][0].append(np.asarray(idx)[:, : hi - lo])
+            parts[phase][1].append(np.asarray(valid)[:, : hi - lo])
+
+    border_lo = np.concatenate(w0_all)
+    out = []
+    for ti in range(n_thr):
+        phase_lists = {}
+        for phase in ("P", "S"):
+            idx = np.concatenate([p[ti] for p in parts[phase][0]], axis=0)
+            valid = np.concatenate([p[ti] for p in parts[phase][1]], axis=0)
+            picks = []
+            for i in range(n):
+                p = idx[i][valid[i]]
+                picks.append(p + (ss[i] - border_lo[i]))
+            phase_lists[phase] = picks
+        out.append((phase_lists["P"], phase_lists["S"]))
+    return out
+
+
 def get_ground_truth(dataset, targets: pd.DataFrame):
     """Per-window P/S ground-truth picks (reference `eval_taks0.py:203-239`)."""
     from volpick_tpu.pipeline.generator import _onset_arrays
@@ -294,24 +381,26 @@ def eval_task0(
             targets = targets.sample(min(num_test_run, len(targets)), random_state=42).reset_index(drop=True)
         if not len(targets):
             continue
-        runner = _SteeredRunner(model, params, batch_size=batch_size)
-        # chunked sweep: probability curves for at most `curve_chunk` windows
-        # are alive at once (an (N, K, window) float32 buffer at VCSEIS scale
-        # would be many GB); ground-truth/predicted pick LISTS — a few floats
+        # chunked sweep: ground-truth/predicted pick LISTS — a few floats
         # per window — accumulate across chunks, and the metric/residual math
-        # runs on the accumulated lists exactly as an unchunked pass would
+        # runs on the accumulated lists exactly as an unchunked pass would;
+        # probability curves stay on device (evaluate_sweep), so host memory
+        # is bounded regardless of the window count
         p_gt, s_gt = [], []
         p_pred_all = {thr: [] for thr in prob_thresholds}
         s_pred_all = {thr: [] for thr in prob_thresholds}
         pick_rows = []
         for c_lo in range(0, len(targets), curve_chunk):
             chunk = targets.iloc[c_lo : c_lo + curve_chunk].reset_index(drop=True)
-            curves = runner.prob_curves(dataset, chunk)
+            # one device pass per batch covers every threshold; probability
+            # curves never reach the host (evaluate_sweep)
+            sweep = evaluate_sweep(
+                model, params, dataset, chunk, prob_thresholds, batch_size
+            )
             gp, gs = get_ground_truth(dataset, chunk)
             p_gt.extend(gp)
             s_gt.extend(gs)
-            for thr in prob_thresholds:
-                p_pred, s_pred = evaluate(model, params, dataset, chunk, thr, curves=curves)
+            for thr, (p_pred, s_pred) in zip(prob_thresholds, sweep):
                 p_pred_all[thr].extend(p_pred)
                 s_pred_all[thr].extend(s_pred)
                 for i in range(len(chunk)):
@@ -324,7 +413,6 @@ def eval_task0(
                             "s_picks": list(np.asarray(s_pred[i], dtype=float)),
                         }
                     )
-            del curves
         rows = []
         for thr in prob_thresholds:
             # column names pinned to the reference's {set}_metrics.csv schema
