@@ -42,7 +42,7 @@ def _make_stream_array(rng):
     return data
 
 
-def _tpu_throughput(iters_a: int = 4, iters_b: int = 24):
+def _tpu_throughput(iters_a: int = 4, iters_b: int = 24, precision: str = "float32"):
     """Device throughput of the fused classify program.
 
     Iterations chain on device through a scalar carry (fori_loop), and the
@@ -51,6 +51,8 @@ def _tpu_throughput(iters_a: int = 4, iters_b: int = 24):
     production deployment does not pay) cancel out of the measurement while
     every compute stage (frame → condition → forward → stack → trigger)
     remains on the timed path via the carried reduction of the pick buffers.
+    The bf16 axis (BENCH_AXES=1) uses this same methodology so the two
+    numbers are directly comparable.
     """
     import jax
     import jax.numpy as jnp
@@ -66,7 +68,7 @@ def _tpu_throughput(iters_a: int = 4, iters_b: int = 24):
     except Exception:
         model = EQTransformer()
         params = model.init(jax.random.PRNGKey(0))
-    picker = WaveformPicker(model, params)
+    picker = WaveformPicker(model, params, precision=precision)
 
     rng = np.random.default_rng(0)
     data = _make_stream_array(rng)
@@ -112,7 +114,10 @@ def _tpu_throughput(iters_a: int = 4, iters_b: int = 24):
     return STATIONS * n_win / per_iter, n_picks
 
 
-def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
+def _torch_cpu_throughput(max_windows: int = 256, batch: int = 32, repeats: int = 3):
+    """CPU-torch reference throughput: median of `repeats` passes over
+    `max_windows` windows, so the vs_baseline denominator is stable to
+    within ~10% across bench runs (round-2 hygiene finding)."""
     import torch
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -135,42 +140,15 @@ def _torch_cpu_throughput(max_windows: int = 64, batch: int = 32):
     frames = frames - frames.mean(-1, keepdims=True) - sl * t
     frames = frames / (np.abs(frames).max(-1, keepdims=True) + 1e-10)
     x = torch.from_numpy(frames.astype(np.float32))
+    times = []
     with torch.no_grad():
         tm(x[:2])  # warm
-        t0 = time.perf_counter()
-        for lo in range(0, len(starts), batch):
-            tm(x[lo : lo + batch])
-        dt = time.perf_counter() - t0
-    return len(starts) / dt
-
-
-def _tpu_throughput_bf16(n_iter: int = 12):
-    """bf16 fused classify on the same workload (side-artifact axis)."""
-    import jax
-    import jax.numpy as jnp
-
-    from volpick_tpu.models import from_pretrained
-    from volpick_tpu.ops.windows import window_starts
-    from volpick_tpu.picker import WaveformPicker
-
-    model, params = from_pretrained(
-        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
-    )
-    picker = WaveformPicker(model, params, precision="bfloat16")
-    rng = np.random.default_rng(0)
-    data = _make_stream_array(rng)
-    total = data.shape[-1]
-    starts = window_starts(total, WINDOW, OVERLAP)
-    run = picker._fused_classify_fn(
-        STATIONS, len(starts), total, BLINDING, "avg",
-        (0.10141666, 0.22, 0.22), 64, 256, stride=WINDOW - OVERLAP,
-    )
-    d, st = jnp.asarray(data), jnp.asarray(starts)
-    _ = jax.device_get(run(picker.params, d, st))
-    t0 = time.perf_counter()
-    handles = [run(picker.params, d, st) for _ in range(n_iter)]
-    _ = [jax.device_get(h) for h in handles]
-    return STATIONS * len(starts) * n_iter / (time.perf_counter() - t0)
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for lo in range(0, len(starts), batch):
+                tm(x[lo : lo + batch])
+            times.append(time.perf_counter() - t0)
+    return len(starts) / float(np.median(times))
 
 
 def main():
@@ -184,13 +162,15 @@ def main():
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu = float("nan")
     vs = tpu / cpu if cpu == cpu and cpu > 0 else None
-    # extended axes (BENCH_AXES=1): bf16 fused classify, recorded in a side
-    # artifact so the stdout contract stays one JSON line
+    # extended axes (BENCH_AXES=1): bf16 fused classify with the SAME
+    # chained-loop methodology as fp32, recorded in a side artifact so the
+    # stdout contract stays one JSON line
     if os.environ.get("BENCH_AXES"):
         try:
-            bf16 = _tpu_throughput_bf16()
+            bf16, _ = _tpu_throughput(precision="bfloat16")
             extra = {"bf16_classify_windows_per_s": round(bf16, 2),
-                     "fp32_classify_windows_per_s": round(tpu, 2)}
+                     "fp32_classify_windows_per_s": round(tpu, 2),
+                     "method": "chained fori_loop, differenced"}
             print(json.dumps(extra), file=sys.stderr)
             with open("BENCH_AXES.json", "w") as f:
                 json.dump(extra, f)

@@ -387,3 +387,39 @@ class TestPerRowThresholds:
             wpk, wval = picks_from_prob_numpy(probs[i], float(thrs[i]))
             gpk = [int(x) for x, v in zip(PK[i], VALID[i]) if v]
             assert gpk == list(wpk[:64])
+
+    @pytest.mark.parametrize("method", ["assoc", "shift", "blocked", "pallas"])
+    def test_scan_methods_exact(self, method):
+        """Every trigger scan lowering (XLA associative / Hillis-Steele shift /
+        two-level blocked / Pallas VMEM kernel, interpret mode on CPU) is
+        bit-identical to the numpy oracle — adversarial curves with dense
+        runs, plateaus (ties), and boundary-crossing runs at the Pallas
+        chunk edge."""
+        import jax.numpy as jnp
+        from volpick_tpu.ops.triggers import (
+            extract_triggers_batched,
+            picks_from_prob_numpy,
+            trigger_onset_numpy,
+        )
+
+        rng = np.random.default_rng(5)
+        w = 5000  # crosses the pallas 4096-sample chunk boundary
+        dense = rng.uniform(0, 1, (3, w)).astype(np.float32)
+        plateau = np.repeat(rng.uniform(0, 1, (3, w // 8 + 1)), 8, axis=1)[:, :w].astype(np.float32)
+        edge = np.zeros((2, w), np.float32)
+        edge[0, 4090:4102] = 0.8  # run straddling the 4096 chunk edge
+        edge[1, :] = 0.9  # run covering the whole curve
+        probs = np.concatenate([dense, plateau, edge], axis=0)
+        thrs = np.array([0.3, 0.5, 0.7, 0.4, 0.6, 0.2, 0.5, 0.5], np.float32)
+        res = extract_triggers_batched(
+            jnp.asarray(probs), jnp.asarray(thrs), max_picks=w, method=method
+        )
+        PK, VAL, VALID, ON, OFF = (np.asarray(a) for a in res)
+        for i in range(len(probs)):
+            want = trigger_onset_numpy(probs[i], thrs[i], thrs[i] / 2)
+            got = [(int(o), int(f)) for o, f, v in zip(ON[i], OFF[i], VALID[i]) if v]
+            assert got == want, (method, i)
+            wpk, wval = picks_from_prob_numpy(probs[i], float(thrs[i]))
+            gpk = PK[i][VALID[i]]
+            np.testing.assert_array_equal(gpk, wpk, err_msg=f"{method} row {i}")
+            np.testing.assert_allclose(VAL[i][VALID[i]], wval, atol=1e-6)

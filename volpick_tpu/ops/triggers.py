@@ -6,8 +6,16 @@ a sequential Python loop per trace. The semantics reduce to a run-based rule:
 
   For each maximal run of samples with prob > thres2, if the run contains at
   least one sample with prob > thres1, emit one trigger
-  [first index in run with prob > thres1, last index of run], and the pick is
+  [first index in run with pron > thres1, last index of run], and the pick is
   argmax(prob[on:off]) (off exclusive) with its probability value.
+
+Key algebraic fact exploited here: within a run, every sample BEFORE the onset
+has prob <= thres1 while the onset sample has prob > thres1, so the max over
+the whole run is attained at/after the onset and is STRICTLY greater than any
+pre-onset sample. Hence argmax over [onset, run_end] (what the reference
+computes) equals argmax over the entire run, first-occurrence ties included —
+the scan only needs run-wide aggregates. The per-element scan state is 4
+carries: (segment flag, onset index or INT_MAX, running max, running argmax).
 
 This formulation is embarrassingly parallel over runs and vectorizes as
 segmented scans — no sequential dependence — so batched pick extraction runs
@@ -18,11 +26,14 @@ host-side extraction on very long streams.
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_I32_MAX = np.iinfo(np.int32).max
 
 
 def trigger_onset_numpy(prob: np.ndarray, thres1: float, thres2: float) -> List[Tuple[int, int]]:
@@ -70,33 +81,109 @@ def picks_from_prob_numpy(
     return np.asarray(picks, dtype=np.int64), np.asarray(values, dtype=np.float64)
 
 
-def _segmented_scan_max(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive running max along the last axis that resets at `starts` flags.
+# --------------------------------------------------------------------- monoid
+# Element state: (flag, onset, m, am)
+#   flag : bool — this position starts a new >thres2 run (segment reset)
+#   onset: int32 — first index with prob > thres1 seen so far in the current
+#          segment, or INT32_MAX if none ("seen" == onset < INT32_MAX)
+#   m    : float — running max of prob over the segment (-inf outside runs)
+#   am   : int32 — index of the running max (first occurrence)
+# Identity element: (False, INT32_MAX, -inf, 0). combine(identity, x) == x for
+# every field that is ever read downstream (onset/m/am are only consumed at
+# emit positions, which lie inside runs where m > -inf and flags have reset
+# the state since the identity).
 
-    Uses an associative operator over (reset_flag, value) pairs, so it lowers
-    to a log-depth parallel scan on the VPU instead of a sequential loop.
-    """
 
-    def combine(a, b):
-        a_flag, a_val = a
-        b_flag, b_val = b
-        val = jnp.where(b_flag, b_val, jnp.maximum(a_val, b_val))
-        return (a_flag | b_flag, val)
-
-    flags, out = jax.lax.associative_scan(
-        combine, (starts, values), axis=-1
+def _combine(a, c):
+    af, a_on, a_m, a_am = a
+    cf, c_on, c_m, c_am = c
+    use_c = c_m > a_m  # strict: first occurrence of the max wins
+    m = jnp.where(use_c, c_m, a_m)
+    am = jnp.where(use_c, c_am, a_am)
+    on = jnp.minimum(a_on, c_on)  # left half holds earlier indices
+    # right half opens a new segment: discard the left state entirely
+    return (
+        af | cf,
+        jnp.where(cf, c_on, on),
+        jnp.where(cf, c_m, m),
+        jnp.where(cf, c_am, am),
     )
-    return out
 
 
-def _segmented_scan_or(flags_in: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    def combine(a, b):
-        a_flag, a_val = a
-        b_flag, b_val = b
-        val = jnp.where(b_flag, b_val, a_val | b_val)
-        return (a_flag | b_flag, val)
+def _elem_state(prob, above1, above2, run_start, pos):
+    neg_inf = jnp.array(-jnp.inf, dtype=prob.dtype)
+    val = jnp.where(above2, prob, neg_inf)
+    onset0 = jnp.where(above1 & above2, pos, _I32_MAX)
+    return (run_start, onset0, val, pos)
 
-    _, out = jax.lax.associative_scan(combine, (starts, flags_in), axis=-1)
+
+def _identity_like(state, shape):
+    flag, onset, m, am = state
+    return (
+        jnp.zeros(shape, dtype=flag.dtype),
+        jnp.full(shape, _I32_MAX, dtype=onset.dtype),
+        jnp.full(shape, -jnp.inf, dtype=m.dtype),
+        jnp.zeros(shape, dtype=am.dtype),
+    )
+
+
+def _shift_right(state, d, axis=-1):
+    """Shift each state array right by d along `axis`, filling with identity."""
+    out = []
+    fills = (False, _I32_MAX, -jnp.inf, 0)
+    for arr, fill in zip(state, fills):
+        pad = [(0, 0)] * arr.ndim
+        ax = axis % arr.ndim
+        pad[ax] = (d, 0)
+        shifted = jnp.pad(arr, pad, constant_values=fill)
+        out.append(jax.lax.slice_in_dim(shifted, 0, arr.shape[ax], axis=ax))
+    return tuple(out)
+
+
+def _scan_assoc(state):
+    return jax.lax.associative_scan(_combine, state, axis=-1)
+
+
+def _scan_shift(state):
+    """Hillis–Steele inclusive scan: log2(W) shift+combine passes.
+
+    Avoids associative_scan's odd/even lane interleaving, which lowers to
+    expensive cross-lane shuffles on TPU; contiguous pad+slice shifts run at
+    HBM/VMEM bandwidth instead.
+    """
+    w = state[0].shape[-1]
+    d = 1
+    while d < w:
+        state = _combine(_shift_right(state, d), state)
+        d *= 2
+    return state
+
+
+def _scan_blocked(state, block: int = 2048):
+    """Two-level scan: intra-block Hillis–Steele + tiny cross-block scan.
+
+    (B, W) reshapes to (B, Nb, L): log2(L) full-size passes instead of
+    log2(W), one (B, Nb) block-summary scan, and one combine pass applying
+    the exclusive block prefix. Exact same result as the flat scan.
+    """
+    lead = state[0].shape[:-1]
+    w = state[0].shape[-1]
+    nb = -(-w // block)
+    padded = nb * block
+    if padded != w:
+        idn = _identity_like(state, lead + (padded - w,))
+        state = tuple(
+            jnp.concatenate([a, i], axis=-1) for a, i in zip(state, idn)
+        )
+    blocked = tuple(a.reshape(lead + (nb, block)) for a in state)
+    intra = _scan_shift(blocked)
+    # summaries: last element of each block, scanned exclusively over blocks
+    summ = tuple(a[..., -1] for a in intra)  # (..., Nb)
+    summ_inc = _scan_shift(summ) if nb > 1 else summ
+    prefix = _shift_right(summ_inc, 1, axis=-1)  # exclusive
+    prefix = tuple(a[..., None] for a in prefix)  # broadcast over L
+    out = _combine(prefix, intra)
+    out = tuple(a.reshape(lead + (padded,))[..., :w] for a in out)
     return out
 
 
@@ -118,34 +205,7 @@ def extract_picks_batched(
     return idx, val, valid
 
 
-def extract_triggers_batched(
-    prob: jnp.ndarray,
-    thres1,
-    thres2=None,
-    max_picks: int = 32,
-):
-    """Full on-device trigger extraction: returns
-    (peak_idx, peak_value, valid, onset_idx, offset_idx), each (B, max_picks).
-    onset/offset are the trigger's [on, off] bounds (off = last index of the
-    >thres2 run, inclusive -- obspy convention).
-
-    thres1/thres2 may be scalars or per-row (B,) arrays, so heterogeneous
-    channels (P/S/detection with different thresholds) batch into ONE call.
-
-    The whole per-run reduction -- "has the run seen a >thres1 sample", the
-    first such index (onset), and the max value/argmax over [onset, run_end]
-    (the reference slices prob[s0 : s1 + 1], `eval_taks0.py:46-56`) -- runs
-    as a SINGLE segmented associative scan. The post-onset max stays
-    associative by carrying both the segment-wide max (m_all) and the
-    post-onset max (m_post): combining L then R, the searchable region of
-    the pair is L's post-onset part plus ALL of R whenever L already holds
-    the onset, hence m_post = max(L.m_post, R.m_all). One scan replaces the
-    previous chain of four (seen1 -> onset -> searchable -> max/argmax ->
-    onset propagation), which dominated the fused classify profile
-    (docs/TPU_PROBE.jsonl breakdown stage).
-    """
-    if thres2 is None:
-        thres2 = jnp.asarray(thres1) / 2.0
+def _scan_states(prob, thres1, thres2, method: str):
     b, w = prob.shape
     t1 = jnp.asarray(thres1, dtype=prob.dtype).reshape(-1, 1)  # (1|B, 1)
     t2 = jnp.asarray(thres2, dtype=prob.dtype).reshape(-1, 1)
@@ -158,51 +218,71 @@ def extract_triggers_batched(
     run_end = above2 & ~next2  # last sample of each run
 
     pos = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (b, w))
-    neg_inf = jnp.array(-jnp.inf, dtype=prob.dtype)
+    if method == "pallas":
+        from volpick_tpu.ops.pallas.triggers import trigger_scan_pallas_raw
 
-    # per-element state: (segment flag, seen >t1, onset idx, m_all, am_all,
-    # m_post, am_post); values outside runs are -inf so they never win
-    in_run = above2
-    val = jnp.where(in_run, prob, neg_inf)
-    seen0 = above1 & in_run
-    onset0 = jnp.where(seen0, pos, 0)
-    m_post0 = jnp.where(seen0, val, neg_inf)  # the onset sample is searchable
-    am_post0 = pos
-
-    def combine(a, c):
-        (af, a_seen, a_on, a_mall, a_amall, a_mpost, a_ampost) = a
-        (cf, c_seen, c_on, c_mall, c_amall, c_mpost, c_ampost) = c
-        # segment-wide max with first-occurrence tie-break (strict >)
-        use_c = c_mall > a_mall
-        mall = jnp.where(use_c, c_mall, a_mall)
-        amall = jnp.where(use_c, c_amall, a_amall)
-        # onset: first seen wins
-        on = jnp.where(a_seen, a_on, c_on)
-        # post-onset max: when the left half holds the onset, the searchable
-        # region continues through ALL of the right half
-        r_val = jnp.where(a_seen, c_mall, c_mpost)
-        r_idx = jnp.where(a_seen, c_amall, c_ampost)
-        use_r = r_val > a_mpost
-        mpost = jnp.where(use_r, r_val, a_mpost)
-        ampost = jnp.where(use_r, r_idx, a_ampost)
-        seen = a_seen | c_seen
-        # right opens a new segment: discard the left state entirely
-        return (
-            af | cf,
-            jnp.where(cf, c_seen, seen),
-            jnp.where(cf, c_on, on),
-            jnp.where(cf, c_mall, mall),
-            jnp.where(cf, c_amall, amall),
-            jnp.where(cf, c_mpost, mpost),
-            jnp.where(cf, c_ampost, ampost),
+        interpret = jax.default_backend() != "tpu"
+        onset_idx, run_max, run_argmax = trigger_scan_pallas_raw(
+            prob, t1, t2, interpret=interpret
         )
+        return run_end, onset_idx, run_max, run_argmax, pos
+    state = _elem_state(prob, above1, above2, run_start, pos)
+    if method == "assoc":
+        scanned = _scan_assoc(state)
+    elif method == "shift":
+        scanned = _scan_shift(state)
+    elif method == "blocked":
+        scanned = _scan_blocked(state)
+    else:
+        raise ValueError(f"unknown trigger scan method {method!r}")
+    _, onset_idx, run_max, run_argmax = scanned
+    return run_end, onset_idx, run_max, run_argmax, pos
 
-    (_, seen, onset_idx, _, _, run_max, run_argmax) = jax.lax.associative_scan(
-        combine,
-        (run_start, seen0, onset0, val, pos, m_post0, am_post0),
-        axis=-1,
+
+def default_trigger_method() -> str:
+    """Scan strategy default: overridable via VOLPICK_TRIGGER_METHOD.
+
+    All methods are exact (property-tested vs the numpy oracle); they differ
+    only in lowering cost. See docs/TPU_PROBE.jsonl trigger stage for the
+    on-TPU measurements behind the default.
+    """
+    return os.environ.get("VOLPICK_TRIGGER_METHOD", "assoc")
+
+
+def extract_triggers_batched(
+    prob: jnp.ndarray,
+    thres1,
+    thres2=None,
+    max_picks: int = 32,
+    method: str | None = None,
+):
+    """Full on-device trigger extraction: returns
+    (peak_idx, peak_value, valid, onset_idx, offset_idx), each (B, max_picks).
+    onset/offset are the trigger's [on, off] bounds (off = last index of the
+    >thres2 run, inclusive -- obspy convention).
+
+    thres1/thres2 may be scalars or per-row (B,) arrays, so heterogeneous
+    channels (P/S/detection with different thresholds) batch into ONE call.
+
+    The segmented scan computes, per element, the current run's onset (first
+    >thres1 index, INT32_MAX if none yet) and run-wide max/argmax; picks are
+    read off at run ends. Because pre-onset samples are <= thres1 < the onset
+    sample, the run-wide argmax equals the reference's post-onset argmax over
+    prob[s0 : s1 + 1] (`eval_taks0.py:46-56`), ties included. `method`
+    selects the scan lowering (assoc | shift | blocked | pallas; see
+    docs/TPU_PROBE.jsonl trigger stage for measurements).
+    """
+    if thres2 is None:
+        thres2 = jnp.asarray(thres1) / 2.0
+    if method is None:
+        method = default_trigger_method()
+    b, w = prob.shape
+    run_end, onset_idx, run_max, run_argmax, pos = _scan_states(
+        prob, thres1, thres2, method
     )
+    seen = onset_idx < _I32_MAX
     emit = run_end & seen
+    neg_inf = jnp.array(-jnp.inf, dtype=prob.dtype)
 
     # Compact: take the first max_picks emitted picks per row. top_k of the
     # negated positions (descending) == the k smallest == earliest emissions;

@@ -130,40 +130,34 @@ class WaveformPicker:
         return self._jitted[chunk]
 
     # ------------------------------------------------------- fused device path
-    def _fused_classify_fn(
+    def _curves_body(
         self,
-        n_stations: int,
         n_win: int,
         total: int,
         blinding: Tuple[int, int],
         stacking: str,
-        thresholds: Tuple[float, ...],
-        max_picks: int,
         chunk: int,
-        stride: Optional[int] = None,
-        flush_start: Optional[int] = None,
+        stride: Optional[int],
+        flush_start: Optional[int],
     ):
-        """One jitted program: frame → condition → forward (chunked via
-        lax.map to bound VMEM) → overlap-average stack with blinding →
-        two-threshold trigger extraction. Only (max_picks)-sized pick buffers
-        leave the device — the speed-of-light path for continuous picking.
+        """The shared frame → condition → forward (chunked via lax.map to
+        bound VMEM) → overlap-average stack with blinding program, as a
+        traceable python function (params, data, starts) → (S, K, total)
+        curves. Both classify (which appends trigger extraction) and annotate
+        (which returns the curves) jit this same body, so the two surfaces
+        consume the identical window set and stacking math by construction.
+
         With a uniform `stride` (any value; window starts are derived as
-        i·stride, overriding `starts`), stacking uses the scatter-free
-        shifted-sum formulation unless the unroll factor ceil(window/stride)
-        would be pathological (tiny strides fall back to the scatter form).
-        `flush_start` (static) adds one final window flush with the stream
-        end at total - window — SeisBench's annotate places this extra
-        window whenever the uniform grid does not end exactly at the last
-        sample (reference `README.md:54-62`); its contribution is composed
-        into the uniform sums via a static-offset add, so the fast path is
-        kept for the uniform prefix."""
-        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk,
-               stride, flush_start)
-        cache = self._jitted.setdefault("fused", {})
-        if key in cache:
-            return cache[key]
+        i·stride, overriding `starts`), framing is gather-free and stacking
+        uses the scatter-free shifted-sum formulation unless the unroll
+        factor ceil(window/stride) would be pathological (tiny strides fall
+        back to the scatter form). `flush_start` (static) adds one final
+        window flush with the stream end at total - window — SeisBench's
+        annotate places this extra window whenever the uniform grid does not
+        end exactly at the last sample (reference `README.md:54-62`); its
+        contribution is composed into the uniform sums via a static-offset
+        add, so the fast path is kept for the uniform prefix."""
         window = self.in_samples
-        channels = self._prob_channels()
         n_uni = n_win - (1 if flush_start is not None else 0)
         l, r = blinding
 
@@ -171,7 +165,7 @@ class WaveformPicker:
         # single fused scatter instead
         use_uniform = stride is not None and -(-window // max(stride or 1, 1)) <= 64
 
-        def run(params, data, starts):
+        def curves_of(params, data, starts):
             s, c = data.shape[0], data.shape[1]
             if use_uniform:
                 # gather-free framing on the uniform grid; the (static)
@@ -233,6 +227,49 @@ class WaveformPicker:
                 curves = jax.vmap(
                     lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
                 )(preds)  # (S, K, total)
+            return curves
+
+        return curves_of
+
+    def _jit_sharded(self, fn):
+        """jit with the station axis sharded over the mesh (if configured)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(fn, in_shardings=(repl, sh, repl))
+        return jax.jit(fn)
+
+    def _fused_classify_fn(
+        self,
+        n_stations: int,
+        n_win: int,
+        total: int,
+        blinding: Tuple[int, int],
+        stacking: str,
+        thresholds: Tuple[float, ...],
+        max_picks: int,
+        chunk: int,
+        stride: Optional[int] = None,
+        flush_start: Optional[int] = None,
+    ):
+        """One jitted program: the shared curves body (`_curves_body`) +
+        two-threshold trigger extraction. Only (max_picks)-sized pick buffers
+        leave the device — the speed-of-light path for continuous picking."""
+        key = (n_stations, n_win, total, blinding, stacking, thresholds, max_picks, chunk,
+               stride, flush_start)
+        cache = self._jitted.setdefault("fused", {})
+        if key in cache:
+            return cache[key]
+        channels = self._prob_channels()
+        curves_of = self._curves_body(
+            n_win, total, blinding, stacking, chunk, stride, flush_start
+        )
+
+        def run(params, data, starts):
+            s = data.shape[0]
+            curves = curves_of(params, data, starts)
             # all triggerable channels extract in ONE batched call with
             # per-row thresholds (the single-scan extractor dominates the
             # profile; see docs/TPU_PROBE.jsonl breakdown stage)
@@ -251,14 +288,31 @@ class WaveformPicker:
                 out[label] = tuple(a[j * s : (j + 1) * s] for a in res)
             return out
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        run = self._jit_sharded(run)
+        cache[key] = run
+        return run
 
-            repl = NamedSharding(self.mesh, P())
-            sh = NamedSharding(self.mesh, P("data"))
-            run = jax.jit(run, in_shardings=(repl, sh, repl))
-        else:
-            run = jax.jit(run)
+    def _fused_annotate_fn(
+        self,
+        n_stations: int,
+        n_win: int,
+        total: int,
+        blinding: Tuple[int, int],
+        stacking: str,
+        chunk: int,
+        stride: Optional[int] = None,
+        flush_start: Optional[int] = None,
+    ):
+        """The curves program alone, jitted: (params, data, starts) →
+        (S, K, total) stacked probability curves. Same body as classify."""
+        key = ("ann", n_stations, n_win, total, blinding, stacking, chunk, stride,
+               flush_start)
+        cache = self._jitted.setdefault("fused", {})
+        if key in cache:
+            return cache[key]
+        run = self._jit_sharded(
+            self._curves_body(n_win, total, blinding, stacking, chunk, stride, flush_start)
+        )
         cache[key] = run
         return run
 
@@ -322,25 +376,7 @@ class WaveformPicker:
                 label: tuple(np.concatenate([seg[i] for seg in segs], axis=1) for i in range(5))
                 for label, segs in merged.items()
             }
-        # SeisBench window placement: uniform grid at i·stride plus, when the
-        # grid does not end exactly at the last sample, one final window
-        # flush with the stream end (same placement as annotate_array, so
-        # classify and annotate always consume the same window set). Streams
-        # shorter than one window are zero-padded to a single window; picks
-        # whose onset/peak land in that padding are dropped by classify().
-        if total <= window:
-            padded_total = window
-            data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
-            starts = np.array([0], dtype=np.int64)
-            flush_start = None
-        else:
-            padded_total = total
-            starts = window_starts(total, window, overlap)
-            flush_start = (
-                int(starts[-1])
-                if len(starts) >= 2 and int(starts[-1]) != (len(starts) - 1) * stride
-                else None
-            )
+        data, padded_total, starts, flush_start = self._plan_windows(data, overlap)
         if max_picks is None:
             max_picks = min(max(32, padded_total // window * 4), 4096)
         channels = self._prob_channels()
@@ -365,6 +401,29 @@ class WaveformPicker:
         return {k: tuple(np.asarray(a) for a in v) for k, v in out.items()}
 
     # ------------------------------------------------------------ array level
+    def _plan_windows(self, data: np.ndarray, overlap: int):
+        """SeisBench window placement shared by classify and annotate: a
+        uniform grid at i·stride plus, when the grid does not end exactly at
+        the last sample, one final window flush with the stream end
+        (reference `README.md:54-62`). Streams shorter than one window are
+        zero-padded to a single window. Returns
+        (data, padded_total, starts, flush_start)."""
+        window = self.in_samples
+        stride = window - overlap
+        total = data.shape[-1]
+        if total <= window:
+            padded_total = window
+            if padded_total > total:
+                data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
+            return data, padded_total, np.array([0], dtype=np.int64), None
+        starts = window_starts(total, window, overlap)
+        flush_start = (
+            int(starts[-1])
+            if len(starts) >= 2 and int(starts[-1]) != (len(starts) - 1) * stride
+            else None
+        )
+        return data, total, starts, flush_start
+
     def annotate_array(
         self,
         data: np.ndarray,
@@ -377,42 +436,29 @@ class WaveformPicker:
 
         data: (S, C, W_total) station batch at the model sampling rate.
         Returns (S, K, W_total) stacked probability curves. This is the fully
-        batched multi-station path (BASELINE config 3).
+        batched multi-station path (BASELINE config 3); it rides the same
+        fused frame→condition→forward→stack program as classify_arrays
+        (`_curves_body`), so the two surfaces cannot drift apart.
         """
         s, c, total = data.shape
         window = self.in_samples
         if overlap is None:
             overlap = window // 2
-        padded_total = max(total, window)
-        if padded_total > total:
-            data = np.pad(data, ((0, 0), (0, 0), (0, padded_total - total)))
-        starts = window_starts(padded_total, window, overlap)
-        n_win = len(starts)
-
-        # frame all stations: (S, N, C, window) → (S*N, C, window)
-        frames = frame_windows(
-            jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts), window
-        )  # (N, S, C, window)
-        frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
-
-        run = self._get_jitted(batch_size)
-        outs = []
-        n_frames = frames.shape[0]
-        for lo in range(0, n_frames, batch_size):
-            chunk = frames[lo : lo + batch_size]
-            if chunk.shape[0] < batch_size:
-                chunk = jnp.pad(chunk, ((0, batch_size - chunk.shape[0]), (0, 0), (0, 0)))
-            outs.append(run(self.params, chunk))
-        preds = jnp.concatenate(outs, axis=0)[:n_frames]  # (S*N, K, window)
-        k = preds.shape[1]
-        preds = preds.reshape(s, n_win, k, window)
-
-        stack = jax.jit(
-            lambda p, st: jax.vmap(
-                lambda q: overlap_stack(q, st, padded_total, blinding=blinding, stacking=stacking)
-            )(p)
+        stride = window - overlap
+        data, padded_total, starts, flush_start = self._plan_windows(data, overlap)
+        run = self._fused_annotate_fn(
+            s,
+            len(starts),
+            padded_total,
+            tuple(blinding),
+            stacking,
+            batch_size,
+            stride=stride,
+            flush_start=flush_start,
         )
-        curves = np.asarray(stack(preds, jnp.asarray(starts)))
+        curves = np.asarray(
+            run(self.params, jnp.asarray(data, dtype=jnp.float32), jnp.asarray(starts))
+        )
         return curves[..., :total]
 
     # ----------------------------------------------------------- stream level
