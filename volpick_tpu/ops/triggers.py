@@ -243,10 +243,17 @@ def default_trigger_method() -> str:
     """Scan strategy default: overridable via VOLPICK_TRIGGER_METHOD.
 
     All methods are exact (property-tested vs the numpy oracle); they differ
-    only in lowering cost. See docs/TPU_PROBE.jsonl trigger stage for the
-    on-TPU measurements behind the default.
+    only in lowering cost. On-TPU measurements (docs/TPU_PROBE.jsonl trigger
+    stage, 24x120k curves): pallas 3.18 ms full extract / 0.39 ms scan,
+    blocked 3.24 ms, shift 3.20 ms, assoc 12.2 ms — so the Pallas VMEM scan
+    kernel is the TPU default (the first Pallas kernel on a default path).
+    On CPU the kernel would run in interpret mode (orders of magnitude
+    slower), so non-TPU backends default to the pure-XLA blocked scan.
     """
-    return os.environ.get("VOLPICK_TRIGGER_METHOD", "assoc")
+    method = os.environ.get("VOLPICK_TRIGGER_METHOD")
+    if method:
+        return method
+    return "pallas" if jax.default_backend() == "tpu" else "blocked"
 
 
 def extract_triggers_batched(
