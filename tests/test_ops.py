@@ -177,6 +177,22 @@ class TestTriggers:
             np.testing.assert_array_equal(got, ref_idx[:16])
             np.testing.assert_allclose(val[i][valid[i]], ref_val[:16], rtol=1e-5)
 
+    def test_blocked_compaction_matches_flat_sort(self):
+        """_earliest_k (two-stage tiled top_k on long rows) is exact: the k
+        smallest per row, ascending, sentinel-padded — vs a full sort."""
+        from volpick_tpu.ops.triggers import _earliest_k
+
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            b, w = int(rng.integers(1, 7)), int(rng.integers(8193, 30000))
+            order = np.full((b, w), w, np.int32)
+            for i in range(b):
+                pos = rng.choice(w, size=rng.integers(0, 180), replace=False)
+                order[i, pos] = pos
+            got = np.asarray(_earliest_k(jnp.asarray(order), w, 64))
+            want = np.sort(order, axis=-1)[:, :64]
+            np.testing.assert_array_equal(got, want)
+
     def test_device_edge_cases(self):
         # trigger still on at end; trigger on at start
         prob = np.array([[0.9, 0.8, 0.1, 0.0, 0.3, 0.6, 0.7, 0.7]], dtype=np.float32)

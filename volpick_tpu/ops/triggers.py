@@ -256,6 +256,29 @@ def default_trigger_method() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "blocked"
 
 
+def _earliest_k(order: jnp.ndarray, sentinel: int, k: int, block: int = 4096):
+    """k smallest entries of each (B, W) row, ascending (two-stage top_k).
+
+    `order` holds positions at emitting entries and `sentinel` (> any
+    position) elsewhere. For long rows, a flat top_k lowers to a full-row
+    sort on TPU; selecting the k smallest per `block`-sized tile first is
+    exact — each of the global k smallest is necessarily among its own
+    tile's k smallest — and cuts the sort domain from W to block, then to
+    the Nb*k candidates.
+    """
+    w = order.shape[-1]
+    if w <= 2 * block or k >= block:
+        return -jax.lax.top_k(-order, k)[0]
+    nb = -(-w // block)
+    pad = nb * block - w
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)), constant_values=sentinel)
+    blk = order.reshape(order.shape[0], nb, block)
+    cand = -jax.lax.top_k(-blk, k)[0]  # (B, Nb, k) earliest per tile
+    cand = cand.reshape(order.shape[0], nb * k)
+    return -jax.lax.top_k(-cand, k)[0]
+
+
 def extract_triggers_batched(
     prob: jnp.ndarray,
     thres1,
@@ -296,7 +319,7 @@ def extract_triggers_batched(
     # a full sort of the (B, W) position array dominated the trigger stage's
     # wall time on TPU (docs/TPU_PROBE.jsonl breakdown stage).
     order = jnp.where(emit, pos, w)  # non-emitting positions rank last
-    top = -jax.lax.top_k(-order, max_picks)[0]
+    top = _earliest_k(order, w, max_picks)
     valid = top < w
     top_safe = jnp.where(valid, top, 0)
     take = lambda a: jnp.take_along_axis(a, top_safe, axis=-1)
