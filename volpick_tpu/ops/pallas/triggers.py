@@ -58,7 +58,10 @@ def _combine(a, c):
 
 def _kernel(prob_ref, t1_ref, t2_ref, on_ref, m_ref, am_ref,
             c_on, c_m, c_am, c_prev2, *, chunk: int):
-    i = pl.program_id(0)
+    # grid = (row_blocks, col_chunks); the LAST grid dim is innermost on TPU,
+    # so all column chunks of one row block run consecutively and the VMEM
+    # carry scratch stays valid; it resets at the first chunk of each block.
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
@@ -126,45 +129,52 @@ def trigger_scan_pallas_raw(
 
     Returns (onset, max, argmax), each (B, W): the scan state at every
     position; picks are read off at run-end positions by the caller
-    (ops/triggers.py). B is padded to a multiple of 8 and W to a multiple of
-    `chunk` internally; thresholds broadcast per row.
+    (ops/triggers.py). Rows are tiled into blocks of at most 32 (so the VMEM
+    block size — and Mosaic's per-op tile count, hence compile time — stays
+    bounded no matter how many curves are batched; the eval sweep batches
+    n_thresholds x batch = thousands of rows), columns into `chunk`-sample
+    blocks scanned sequentially with the carry in VMEM scratch. B is padded
+    to a multiple of the row block and W to a multiple of `chunk` internally;
+    thresholds broadcast per row.
     """
     b, w = prob.shape
     t1 = jnp.broadcast_to(jnp.asarray(t1, prob.dtype).reshape(-1, 1), (b, 1))
     t2 = jnp.broadcast_to(jnp.asarray(t2, prob.dtype).reshape(-1, 1), (b, 1))
-    bp = -b % 8
+    rb = min(-(-b // 8) * 8, 32)
+    bp = -b % rb
     wp = -w % chunk
     if bp or wp:
         prob = jnp.pad(prob, ((0, bp), (0, wp)), constant_values=_NEG)
         t1 = jnp.pad(t1, ((0, bp), (0, 0)), constant_values=1.0)
         t2 = jnp.pad(t2, ((0, bp), (0, 0)), constant_values=1.0)
     bb, ww = prob.shape
-    grid = ww // chunk
+    grid = (bb // rb, ww // chunk)
     out_shape = [
         jax.ShapeDtypeStruct((bb, ww), jnp.int32),
         jax.ShapeDtypeStruct((bb, ww), prob.dtype),
         jax.ShapeDtypeStruct((bb, ww), jnp.int32),
     ]
-    blk = lambda i: (0, i)
+    blk = lambda r, c: (r, c)
+    row = lambda r, c: (r, 0)
     on, m, am = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk),
         out_shape=out_shape,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, chunk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, chunk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, chunk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, chunk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, chunk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, chunk), blk, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bb, 128), jnp.int32),
-            pltpu.VMEM((bb, 128), prob.dtype),
-            pltpu.VMEM((bb, 128), jnp.int32),
-            pltpu.VMEM((bb, 128), jnp.int32),
+            pltpu.VMEM((rb, 128), jnp.int32),
+            pltpu.VMEM((rb, 128), prob.dtype),
+            pltpu.VMEM((rb, 128), jnp.int32),
+            pltpu.VMEM((rb, 128), jnp.int32),
         ],
         interpret=interpret,
     )(prob, t1, t2)
