@@ -1,0 +1,228 @@
+"""Training convergence + TPUPickNet head-to-head study (one command).
+
+VERDICT round-2 items 3a/4: (a) train PhaseNet from scratch on the synthetic
+benchmark with the full reference recipe (stacking augmentations, EMA,
+plateau schedule) and show task0 F1 against the imported-weights model on the
+SAME test split; (b) train TPUPickNet with the SAME budget and compare task0
+F1 + fused-classify throughput, so the "built for the MXU" claim has a
+matched-budget number behind it (or is demoted).
+
+Run AFTER scripts/run_eval_benchmark.py (reuses its dataset + targets +
+imported-model results):
+
+    timeout 5400 python -u scripts/run_eval_benchmark.py
+    timeout 7200 python -u scripts/run_training_study.py
+
+Writes docs/TRAINING.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+import pandas as pd
+
+from run_eval_benchmark import fmt_table  # noqa: E402  (same scripts dir)
+
+
+def classify_throughput(model, params, overlap):
+    """Fused classify windows/s on the 8-station 20-min workload (chained
+    fori_loop, differenced — same methodology as bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    picker = WaveformPicker(model, params)
+    window = model.in_samples
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(8, 3, 120000)).astype(np.float32)
+    total = data.shape[-1]
+    starts = window_starts(total, window, overlap)
+    thr = tuple(0.3 for _ in picker._prob_channels())
+    run = picker._fused_classify_fn(
+        8, len(starts), total, (0, 0), "avg", thr, 64, 256,
+        stride=window - overlap,
+        flush_start=int(starts[-1]) if int(starts[-1]) != (len(starts) - 1) * (window - overlap) else None,
+    )
+    d, st = jnp.asarray(data), jnp.asarray(starts)
+
+    def make_loop(iters):
+        @jax.jit
+        def loop(d):
+            def body(i, carry):
+                res = run(picker.params, d + carry * 1e-30, st)
+                return sum(jnp.sum(v[1]) for v in res.values()) * 1e-6 + carry * 0.5
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return loop
+
+    la, lb = make_loop(4), make_loop(24)
+    float(jax.device_get(la(d)))
+    float(jax.device_get(lb(d)))
+
+    def t(loop):
+        t0 = time.perf_counter()
+        _ = float(jax.device_get(loop(d)))
+        return time.perf_counter() - t0
+
+    ta = min(t(la) for _ in range(2))
+    tb = min(t(lb) for _ in range(2))
+    per_iter = max(tb - ta, 1e-9) / 20
+    return 8 * len(starts) / per_iter
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/tmp/volpick_eval_benchmark")
+    ap.add_argument("--eval-dir", default="/tmp/volpick_eval_out")
+    ap.add_argument("--save-dir", default="/tmp/volpick_train_study")
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse existing checkpoints, only eval+report")
+    args = ap.parse_args()
+
+    import volpick_tpu
+
+    volpick_tpu.enable_compilation_cache()
+    import jax
+
+    from volpick_tpu.data.dataset import load_dataset
+    from volpick_tpu.eval.task0 import eval_task0, opt_prob_metrics
+    from volpick_tpu.train.model_io import load_best_model
+    from volpick_tpu.train.trainer import train
+
+    data_dir = Path(args.data_dir)
+    targets_dir = Path(args.eval_dir) / "targets"
+    assert (data_dir / "metadata.csv").exists(), "run scripts/run_eval_benchmark.py first"
+    assert (targets_dir / "task0.csv").exists(), "run scripts/run_eval_benchmark.py first"
+
+    # matched-budget recipes: identical data/batch/epochs/augs/EMA; lr is the
+    # per-architecture tuned value (reference PhaseNet recipe lr 5e-4,
+    # `model_training/configs_tune/*.json`; warmup shortened to fit the run)
+    recipes = {
+        "phasenet_scratch": {
+            "model": "PhaseNet",
+            "model_args": {"lr": 5e-4},
+            "data": str(data_dir),
+            "batch_size": 256,
+            "stack_data": True,
+            "ema": True,
+            "warmup_steps": 100,
+            "trainer_args": {"max_epochs": args.epochs},
+            "save_dir": args.save_dir,
+        },
+        "tpupicknet_scratch": {
+            "model": "TPUPickNet",
+            "model_args": {"lr": 1e-3},
+            "data": str(data_dir),
+            "batch_size": 256,
+            "stack_data": True,
+            "ema": True,
+            "warmup_steps": 100,
+            "trainer_args": {"max_epochs": args.epochs},
+            "save_dir": args.save_dir,
+        },
+    }
+
+    timings = {}
+    histories = {}
+    for exp, cfg in recipes.items():
+        if args.skip_train and (Path(args.save_dir) / exp / "checkpoints").exists():
+            continue
+        t0 = time.perf_counter()
+        out = train(cfg, experiment_name=exp)
+        timings[f"{exp}_train_s"] = round(time.perf_counter() - t0, 1)
+        histories[exp] = out["history"]
+        print(f"{exp}: trained {len(out['history'])} epochs "
+              f"in {timings[f'{exp}_train_s']}s", flush=True)
+
+    dataset = load_dataset(data_dir)
+    dataset.preload_waveforms()
+
+    rows = []
+    speed_rows = []
+    # the imported-weights PhaseNet numbers from the eval benchmark artifact
+    imported_dir = Path(args.eval_dir) / "phasenet_volpick"
+    if (imported_dir / "dev_metrics.csv").exists():
+        opt = opt_prob_metrics(imported_dir)
+        rows.append(dict({"experiment": "phasenet_imported (volpick weights)"},
+                         **{k: v for k, v in opt.items()
+                            if k in ("p_threshold", "s_threshold", "dev_p_F1score",
+                                     "dev_s_F1score", "test_p_F1score", "test_s_F1score",
+                                     "test_p_precision", "test_p_recall",
+                                     "test_s_precision", "test_s_recall")}))
+
+    arch_of = {"phasenet_scratch": "phasenet", "tpupicknet_scratch": "tpupicknet"}
+    for exp, arch in arch_of.items():
+        exp_dir = Path(args.save_dir) / exp
+        # EMA decay 0.999 over ~2k steps is still init-biased; use raw best
+        model, params = load_best_model(exp_dir, arch, prefer_ema=False)
+        out_dir = exp_dir / "eval"
+        t0 = time.perf_counter()
+        eval_task0(model, params, dataset, targets_dir, out_dir)
+        timings[f"{exp}_eval_s"] = round(time.perf_counter() - t0, 1)
+        opt = opt_prob_metrics(out_dir)
+        rows.append(dict({"experiment": exp},
+                         **{k: v for k, v in opt.items()
+                            if k in ("p_threshold", "s_threshold", "dev_p_F1score",
+                                     "dev_s_F1score", "test_p_F1score", "test_s_F1score",
+                                     "test_p_precision", "test_p_recall",
+                                     "test_s_precision", "test_s_recall")}))
+        print(f"{exp}: eval done", flush=True)
+
+        overlap = model.in_samples - 500  # stride 500 for all, like the bench
+        t0 = time.perf_counter()
+        wps = classify_throughput(model, params, overlap)
+        speed_rows.append({"model": arch, "window": model.in_samples,
+                           "stride": 500, "classify_windows_per_s": round(wps, 1)})
+        timings[f"{exp}_speed_s"] = round(time.perf_counter() - t0, 1)
+        print(f"{exp}: {wps:.0f} windows/s", flush=True)
+
+    f1_df = pd.DataFrame(rows)
+    speed_df = pd.DataFrame(speed_rows)
+
+    lines = [
+        "# TRAINING — from-scratch convergence + TPUPickNet head-to-head",
+        "",
+        f"Generated by `python scripts/run_training_study.py` on backend "
+        f"`{jax.default_backend()}`. Matched budget: same dataset "
+        f"(the 5k-trace synthetic benchmark of docs/EVAL.md), batch 256, "
+        f"{args.epochs} epochs, stacking augmentations + EMA + "
+        "ReduceLROnPlateau (reference recipe, "
+        "`model_training/configs_tune/*.json`).",
+        "",
+        "## Task0 F1 (dev-optimal threshold protocol, same test split)",
+        "",
+        fmt_table(f1_df),
+        "",
+        "## Fused classify throughput (8 stations x 20 min, stride 500, chained on device)",
+        "",
+        fmt_table(speed_df),
+        "",
+        "## Loss curves",
+        "",
+    ]
+    for exp, hist in histories.items():
+        h = pd.DataFrame(hist)
+        pick = h.iloc[:: max(len(h) // 12, 1)][["epoch", "train_loss", "val_loss"]]
+        lines += [f"### {exp}", "", fmt_table(pick, floatfmt="{:.5f}"), ""]
+    lines += ["## Wall times", "",
+              fmt_table(pd.DataFrame([timings]).T.reset_index()
+                        .rename(columns={"index": "stage", 0: "seconds"})), ""]
+
+    (REPO / "docs" / "TRAINING.md").write_text("\n".join(lines))
+    print("wrote docs/TRAINING.md", flush=True)
+    print(json.dumps(timings), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,58 @@ class TestGenerator:
         assert b0["X"].shape == (8, 3, 3001)
         assert np.isfinite(np.asarray(b0["X"])).all()
 
+    def test_host_window_crop_geometry(self, rng):
+        """Host crop == device gather_window at the same offsets; onsets
+        shift into window coordinates; out-of-trace samples are zero."""
+        from volpick_tpu.pipeline.generator import host_window_crop
+
+        b, c, w_raw = 16, 3, 9000
+        x = rng.normal(size=(b, c, w_raw)).astype(np.float32)
+        lens = np.full(b, w_raw, np.int32)
+        lens[3] = 4000  # short trace: window may overrun into zero pad
+        x[3, :, 4000:] = 7.7  # garbage beyond len must never appear
+        p = rng.uniform(2000, 3500, b).astype(np.float32)
+        s = p + rng.uniform(100, 600, b).astype(np.float32)
+        p[5] = np.nan
+        s[5] = np.nan  # noise trace
+        cfg = AugmentConfig(window=3001)
+        out = host_window_crop(np.random.default_rng(0), {"x": x, "len": lens, "p": p, "s": s}, cfg)
+        assert out["x"].shape == (b, c, 3001)
+        assert (out["len"] == 3001).all()
+        assert not np.any(out["x"] == 7.7)
+        # each cropped row is a contiguous slice of the raw trace (find the
+        # implied offset from the adjusted onset and compare content)
+        for i in range(b):
+            if np.isnan(p[i]):
+                continue
+            off = int(round(p[i] - out["p"][i]))
+            assert np.isclose(s[i] - off, out["s"][i], atol=1e-3)
+            lo, hi = max(off, 0), min(off + 3001, int(lens[i]))
+            if hi > lo:
+                np.testing.assert_array_equal(out["x"][i, :, lo - off : hi - off], x[i, :, lo:hi])
+
+    def test_host_window_matches_device_distribution(self, tmp_path, rng):
+        """host_window=True feeds the same augmentation program: output
+        geometry identical, and the P-label peak rate (fraction of windows
+        that contain their pick) statistically matches host_window=False."""
+        make_synthetic_dataset(tmp_path, n_events=40, n_noise=8, n_samples=6000, seed=5)
+        ds = VCSEIS(tmp_path)
+        train = ds.get_split("train")
+        cfg = AugmentConfig(window=3001, stack=False)
+
+        def peak_rate(host_window):
+            gen = TrainGenerator(train, cfg, batch_size=8, seed=11, host_window=host_window)
+            rates = []
+            for _ in range(3):
+                for batch in gen.epoch():
+                    y = np.asarray(batch["y"])
+                    assert batch["X"].shape == (8, 3, 3001)
+                    rates.append((y[:, 0].max(axis=-1) > 0.95).mean())
+            return np.mean(rates)
+
+        r_host, r_dev = peak_rate(True), peak_rate(False)
+        assert abs(r_host - r_dev) < 0.25  # same window program, different RNG stream
+
 
 class TestRotation:
     def test_rotation_preserves_content(self, rng):

@@ -75,6 +75,9 @@ class AugmentConfig:
     gap_prob: float = 0.2
     rotate_array: bool = False  # RandomArrayRotation gate (`models.py:330-343`)
     rotate_prob: float = 0.99
+    # window selection already performed on host (generator host_window path):
+    # the device window block degenerates to an identity gather at offset 0
+    pre_windowed: bool = False
 
     def for_secondary(self) -> "AugmentConfig":
         """Block1 config of the stacked-event sub-generator: always
@@ -128,6 +131,8 @@ def select_window_offsets(
 ) -> jnp.ndarray:
     """Absolute window start offsets implementing block1's window program."""
     b = lens.shape[0]
+    if cfg.pre_windowed:  # host already selected the window (host_window_crop)
+        return jnp.zeros((b,), jnp.int32)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     has_p = ~jnp.isnan(p)

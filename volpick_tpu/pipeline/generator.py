@@ -51,6 +51,62 @@ def _onset_arrays(metadata, target_rate=None) -> Tuple[np.ndarray, np.ndarray]:
     return p, s
 
 
+def host_window_crop(rng: np.random.Generator, batch: Dict[str, np.ndarray], cfg: AugmentConfig) -> Dict[str, np.ndarray]:
+    """Numpy mirror of the device window block (`augmentations.select_window_offsets`
+    + `gather_window`): select each trace's training window on the HOST and crop
+    to (B, C, window) before shipping.
+
+    Window selection depends only on (len, p, s, rng) — never on waveform
+    content — so doing it host-side is pure data movement: the bytes crossing
+    the host→device link shrink from the padded trace length to the model
+    window (4x for 120 s traces feeding a 30 s window; the stacking program
+    ships 5 batches per step, so this bounds the training input bandwidth).
+    The device program then runs with `cfg.pre_windowed=True`, making its
+    window block an identity gather at offset 0. Same sampling distribution
+    as the device block (WindowAroundSample gate -> RandomWindow | Null
+    random window, reference `volpick/model/models.py:221-265`); the realized
+    draws come from the generator's numpy RNG instead of the jax key.
+    """
+    x, lens, p, s = batch["x"], batch["len"], batch["p"], batch["s"]
+    b = lens.shape[0]
+    has_p, has_s = ~np.isnan(p), ~np.isnan(s)
+    if cfg.selection == "first":
+        base = np.where(has_p, np.nan_to_num(p, nan=np.inf), np.inf)
+        base = np.minimum(base, np.where(has_s, np.nan_to_num(s, nan=np.inf), np.inf))
+        onset = np.where(np.isfinite(base), base, 0.0)
+    else:  # random among present picks
+        pick_s = rng.random(b) < 0.5
+        both = has_p & has_s
+        use_s = (both & pick_s) | (has_s & ~has_p)
+        onset = np.where(use_s, np.nan_to_num(s), np.nan_to_num(p))
+    onset = np.where(has_p | has_s, onset, rng.random(b) * lens.astype(np.float32))
+
+    was_start = onset.astype(np.int32) - cfg.samples_before
+    gate = rng.random(b) < cfg.window_around_prob
+    u = rng.random(b)
+    span_was = max(cfg.pre_window - cfg.window, 0)
+    off_was = was_start + np.floor(u * (span_was + 1)).astype(np.int32)
+    lo = cfg.low if cfg.low is not None else 0
+    hi = lens.astype(np.int32) if cfg.high is None else np.minimum(lens.astype(np.int32), cfg.high)
+    span_null = np.maximum(hi - lo - cfg.window, 0)
+    off_null = lo + np.floor(u * (span_null + 1).astype(np.float32)).astype(np.int32)
+    off = np.where(gate, off_was, off_null).astype(np.int64)
+
+    w = cfg.window
+    idx = off[:, None] + np.arange(w)[None, :]  # (B, w)
+    valid = (idx >= 0) & (idx < lens[:, None]) & (idx < x.shape[-1])
+    idx_c = np.clip(idx, 0, x.shape[-1] - 1)
+    out = np.take_along_axis(x, np.broadcast_to(idx_c[:, None, :], (b, x.shape[1], w)), axis=-1)
+    out = np.where(valid[:, None, :], out, 0.0).astype(np.float32)
+
+    res = dict(batch)
+    res["x"] = out
+    res["len"] = np.full(b, w, dtype=np.int32)
+    res["p"] = (p - off).astype(np.float32)  # NaN propagates for absent picks
+    res["s"] = (s - off).astype(np.float32)
+    return res
+
+
 class RawBatchSource:
     """Raw padded trace buffers + onset arrays for random batch draws.
 
@@ -196,10 +252,18 @@ class TrainGenerator:
         seed: int = 42,
         drop_last: bool = True,
         prefetch: int = 2,
+        host_window: bool = True,
     ):
+        import dataclasses
+
         import jax
 
         self.cfg = cfg
+        # host-side window pre-crop: ship (B, C, window) instead of padded
+        # full traces (see host_window_crop); the device program's window
+        # block degenerates to an identity gather
+        self.host_window = host_window
+        self._dev_cfg = dataclasses.replace(cfg, pre_windowed=True) if host_window else cfg
         self.batch_size = batch_size
         self.primary = RawBatchSource(dataset)
         self.eq = RawBatchSource(eq_dataset) if (cfg.stack and eq_dataset is not None and len(eq_dataset)) else None
@@ -225,6 +289,8 @@ class TrainGenerator:
         steps = len(self)
         stack_on = self.cfg.stack and self.eq is not None
 
+        sec_cfg = self.cfg.for_secondary()
+
         def make(i):
             idx = order[i * self.batch_size : (i + 1) * self.batch_size]
             prim = self.primary.take(idx)
@@ -240,8 +306,15 @@ class TrainGenerator:
                 noi2 = (self.noise or self.eq).random_batch(self.rng, self.batch_size)
             else:
                 sec = sec2 = noi = noi2 = None
+            if self.host_window:
+                prim = host_window_crop(self.rng, prim, self.cfg)
+                if stack_on:
+                    sec = host_window_crop(self.rng, sec, sec_cfg)
+                    sec2 = host_window_crop(self.rng, sec2, sec_cfg)
+                    noi = host_window_crop(self.rng, noi, self.cfg)
+                    noi2 = host_window_crop(self.rng, noi2, self.cfg)
             self.key, sub = jax.random.split(self.key)
-            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self.cfg)
+            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self._dev_cfg)
 
         # software pipeline: a producer thread assembles host batches (HDF5
         # reads in lazy mode) and dispatches the on-device augmentation; jax
