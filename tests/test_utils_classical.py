@@ -182,6 +182,23 @@ class TestAnalysisProfiling:
         s = t.summary()
         assert s["steps"] == 3 and s["steps_per_s"] > 0
 
+    def test_trace_summary(self, tmp_path):
+        """trace() + summarize_trace() read back an op-level table from the
+        profiler's Chrome-format dump (no tensorboard install needed)."""
+        import jax.numpy as jnp
+
+        from volpick_tpu.utils.profiling import summarize_trace, trace
+
+        with trace(tmp_path):
+            x = jnp.ones((128, 128))
+            (x @ x).block_until_ready()
+        planes = summarize_trace(tmp_path, top=10)
+        assert planes, "no planes parsed"
+        rows = next(iter(planes.values()))
+        assert rows and {"name", "total_ms", "count", "mean_us"} <= set(rows[0])
+        assert all(r["total_ms"] >= rows[-1]["total_ms"] or True for r in rows)
+        assert rows == sorted(rows, key=lambda r: -r["total_ms"])
+
     def test_trainer_restore(self, tmp_path):
         import jax.numpy as jnp
         from volpick_tpu.models import PhaseNet

@@ -28,6 +28,56 @@ def trace(log_dir):
         jax.profiler.stop_trace()
 
 
+def summarize_trace(log_dir, top: int = 40) -> Dict:
+    """Op-level summary of the newest jax.profiler trace under `log_dir`.
+
+    Reads the Chrome-format `*.trace.json.gz` the profiler writes next to the
+    xplane protobuf (so no tensorboard install is needed), groups complete
+    ('X') events by process (device/host plane) and name, and returns
+    {plane: [{name, total_ms, count, mean_us}, ...]} sorted by total time,
+    top-`top` rows per plane. Host Python-frame events (names starting with
+    '$') are collapsed into one row so device op rows dominate the report.
+    """
+    import gzip
+    import pathlib
+    from collections import defaultdict
+
+    traces = sorted(pathlib.Path(log_dir).rglob("*.trace.json.gz"), key=lambda p: p.stat().st_mtime)
+    if not traces:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    data = json.load(gzip.open(traces[-1], "rt"))
+    events = data.get("traceEvents", [])
+    plane_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            plane_names[e["pid"]] = e.get("args", {}).get("name", str(e["pid"]))
+    acc: Dict = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        plane = plane_names.get(e.get("pid"), str(e.get("pid")))
+        name = e.get("name", "?")
+        if name.startswith("$"):
+            name = "(host python frames)"
+        slot = acc[plane][name]
+        slot[0] += float(e.get("dur", 0.0))  # microseconds
+        slot[1] += 1
+    out = {}
+    for plane, names in acc.items():
+        rows = [
+            {
+                "name": n,
+                "total_ms": round(tot / 1000.0, 3),
+                "count": cnt,
+                "mean_us": round(tot / max(cnt, 1), 1),
+            }
+            for n, (tot, cnt) in names.items()
+        ]
+        rows.sort(key=lambda r: -r["total_ms"])
+        out[plane] = rows[:top]
+    return out
+
+
 def enable_nan_debugging(enable: bool = True):
     import jax
 
