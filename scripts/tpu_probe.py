@@ -584,18 +584,21 @@ def stage_profile():
         _ = [jax.device_get(h) for h in handles]
     files = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
     log({"stage": "profile", "event": "trace_captured", "files": files[-1:] if files else []})
-    if not files:
-        return
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+        import json as _json
 
-        data_out, _ = rtd.xspace_to_tool_data([files[-1]], "framework_op_stats", {})
-        out_path = Path(__file__).resolve().parents[1] / "docs" / "PROFILE_fused_classify.csv"
-        if isinstance(data_out, bytes):
-            data_out = data_out.decode("utf-8", "replace")
-        with open(out_path, "w") as f:
-            f.write(data_out)
-        log({"stage": "profile", "event": "op_stats_written", "path": str(out_path)})
+        from volpick_tpu.utils.profiling import summarize_trace
+
+        summary = summarize_trace(logdir)
+        out_path = Path(__file__).resolve().parents[1] / "docs" / "PROFILE_classify.json"
+        meta = {"workload": "fused EQT classify, 8 stations x 20 min, overlap 5500, 8 iterations",
+                "backend": jax.default_backend(), "jax": jax.__version__}
+        out_path.write_text(_json.dumps({"meta": meta, "planes": summary}, indent=1))
+        log({"stage": "profile", "event": "op_stats_written", "path": str(out_path),
+             "planes": list(summary.keys())})
+        for plane, rows in summary.items():
+            for r in rows[:10]:
+                log({"stage": "profile", "plane": plane, **r})
     except Exception as e:
         log({"stage": "profile", "event": "op_stats_FAILED",
              "error": f"{type(e).__name__}: {e}"[:1000]})
