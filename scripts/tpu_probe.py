@@ -505,10 +505,11 @@ def stage_train():
     lr = jnp.float32(1e-3)
 
     def make_loop(iters):
+        # every batch rides in as an argument — closing over them would embed
+        # ~370 MB of literal constants in the HLO, which the axon remote-compile
+        # endpoint rejects (HTTP 413)
         @jax.jit
-        def loop(prim_x):
-            prim_l = dict(prim, x=prim_x)
-
+        def loop(prim_l, sec, sec2, noi, noi2, init):
             def body(i, carry):
                 params, opt_state, ema_params, key, acc = carry
                 key, k_aug, k_drop = jax.random.split(key, 3)
@@ -523,21 +524,21 @@ def stage_train():
                 ema_params = ema_update(ema_params, params, 0.999)
                 return params, opt_state, ema_params, key, acc + loss
 
-            init = (trainer.params, trainer.opt_state, trainer.ema_params,
-                    jax.random.PRNGKey(7), jnp.float32(0.0))
             out = jax.lax.fori_loop(0, iters, body, init)
             return out[-1]
 
         return loop
 
     la, lb = make_loop(3), make_loop(13)
-    xd = prim["x"]
-    float(jax.device_get(la(xd)))
-    float(jax.device_get(lb(xd)))
+    init = (trainer.params, trainer.opt_state, trainer.ema_params,
+            jax.random.PRNGKey(7), jnp.float32(0.0))
+    args_d = jax.device_put((prim, sec, sec2, noi, noi2, init))
+    float(jax.device_get(la(*args_d)))
+    float(jax.device_get(lb(*args_d)))
 
     def run(l):
         t0 = time.perf_counter()
-        _ = float(jax.device_get(l(xd)))
+        _ = float(jax.device_get(l(*args_d)))
         return time.perf_counter() - t0
 
     ta = min(run(la) for _ in range(3))
