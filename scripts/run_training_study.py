@@ -88,6 +88,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing checkpoints, only eval+report")
+    ap.add_argument("--only", default=None,
+                    help="train just this experiment then exit (run each "
+                         "training leg in its own process: the axon client "
+                         "retains every uploaded per-step batch, ~46 MB/step, "
+                         "so one process must not train two full recipes)")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -134,16 +139,19 @@ def main():
     }
 
     timings = {}
-    histories = {}
     for exp, cfg in recipes.items():
+        if args.only and exp != args.only:
+            continue
         if args.skip_train and (Path(args.save_dir) / exp / "checkpoints").exists():
             continue
         t0 = time.perf_counter()
         out = train(cfg, experiment_name=exp)
         timings[f"{exp}_train_s"] = round(time.perf_counter() - t0, 1)
-        histories[exp] = out["history"]
         print(f"{exp}: trained {len(out['history'])} epochs "
               f"in {timings[f'{exp}_train_s']}s", flush=True)
+    if args.only:
+        print(json.dumps(timings), flush=True)
+        return
 
     dataset = load_dataset(data_dir)
     dataset.preload_waveforms()
@@ -211,8 +219,13 @@ def main():
         "## Loss curves",
         "",
     ]
-    for exp, hist in histories.items():
-        h = pd.DataFrame(hist)
+    # loss curves come from each experiment's metrics.csv so the report pass
+    # works when training ran in separate processes
+    for exp in recipes:
+        mpath = Path(args.save_dir) / exp / "metrics.csv"
+        if not mpath.exists():
+            continue
+        h = pd.read_csv(mpath)
         pick = h.iloc[:: max(len(h) // 12, 1)][["epoch", "train_loss", "val_loss"]]
         lines += [f"### {exp}", "", fmt_table(pick, floatfmt="{:.5f}"), ""]
     lines += ["## Wall times", "",

@@ -22,6 +22,7 @@ argument so LR changes never recompile.
 
 from __future__ import annotations
 
+import gc
 import json
 import math
 import time
@@ -349,6 +350,13 @@ class Trainer:
             logger.info(
                 f"epoch {epoch}: train_loss={train_loss:.5f} val_loss={val_loss:.5f} lr={metrics['lr']:.2e}"
             )
+
+            # Per-step device inputs are mostly invisible to Python's gc
+            # accounting (jax/numpy buffers aren't tracked allocations), so
+            # cyclic garbage holding them can accumulate for many epochs
+            # before a gen-2 collection runs; collect explicitly at the epoch
+            # boundary to bound host RSS on long runs.
+            gc.collect()
 
             monitored = metrics[monitor]
             state = self._state(params, opt_state, ema_params, epoch)
