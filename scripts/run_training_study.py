@@ -88,6 +88,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing checkpoints, only eval+report")
+    ap.add_argument("--no-speed", action="store_true",
+                    help="skip the classify-throughput axis (TPU-only)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the axon sitecustomize "
+                         "force-selects the remote TPU otherwise)")
     ap.add_argument("--only", default=None,
                     help="train just this experiment then exit (run each "
                          "training leg in its own process: the axon client "
@@ -99,6 +104,9 @@ def main():
 
     volpick_tpu.enable_compilation_cache()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from volpick_tpu.data.dataset import load_dataset
     from volpick_tpu.eval.task0 import eval_task0, opt_prob_metrics
@@ -187,13 +195,14 @@ def main():
                                      "test_s_precision", "test_s_recall")}))
         print(f"{exp}: eval done", flush=True)
 
-        overlap = model.in_samples - 500  # stride 500 for all, like the bench
-        t0 = time.perf_counter()
-        wps = classify_throughput(model, params, overlap)
-        speed_rows.append({"model": arch, "window": model.in_samples,
-                           "stride": 500, "classify_windows_per_s": round(wps, 1)})
-        timings[f"{exp}_speed_s"] = round(time.perf_counter() - t0, 1)
-        print(f"{exp}: {wps:.0f} windows/s", flush=True)
+        if not args.no_speed:
+            overlap = model.in_samples - 500  # stride 500 for all, like the bench
+            t0 = time.perf_counter()
+            wps = classify_throughput(model, params, overlap)
+            speed_rows.append({"model": arch, "window": model.in_samples,
+                               "stride": 500, "classify_windows_per_s": round(wps, 1)})
+            timings[f"{exp}_speed_s"] = round(time.perf_counter() - t0, 1)
+            print(f"{exp}: {wps:.0f} windows/s", flush=True)
 
     f1_df = pd.DataFrame(rows)
     speed_df = pd.DataFrame(speed_rows)
@@ -214,7 +223,7 @@ def main():
         "",
         "## Fused classify throughput (8 stations x 20 min, stride 500, chained on device)",
         "",
-        fmt_table(speed_df),
+        fmt_table(speed_df) if len(speed_df) else "(pending: TPU-only axis, run without --no-speed)",
         "",
         "## Loss curves",
         "",
@@ -225,9 +234,14 @@ def main():
         mpath = Path(args.save_dir) / exp / "metrics.csv"
         if not mpath.exists():
             continue
-        h = pd.read_csv(mpath)
+        # metrics.csv appends across restarts; keep the last row per epoch
+        h = (pd.read_csv(mpath).drop_duplicates("epoch", keep="last")
+             .sort_values("epoch").reset_index(drop=True))
         pick = h.iloc[:: max(len(h) // 12, 1)][["epoch", "train_loss", "val_loss"]]
-        lines += [f"### {exp}", "", fmt_table(pick, floatfmt="{:.5f}"), ""]
+        n_ep = int(h["epoch"].max()) + 1
+        note = (f"trained {n_ep} epochs"
+                + (" (early-stopped by the plateau recipe)" if n_ep < args.epochs else ""))
+        lines += [f"### {exp} — {note}", "", fmt_table(pick, floatfmt="{:.5f}"), ""]
     lines += ["## Wall times", "",
               fmt_table(pd.DataFrame([timings]).T.reset_index()
                         .rename(columns={"index": "stage", 0: "seconds"})), ""]
