@@ -55,7 +55,7 @@ def make_day(stations: int, n_samples: int, seed: int = 0) -> np.ndarray:
             noise = rng.normal(0, 1, size=(3, c1 - c0)).astype(np.float32)
             # cheap red-noise shaping: two-pass cumulative smoothing
             noise = np.cumsum(noise, axis=-1)
-            noise -= np.linspace(noise[:, :1], noise[:, -1:], c1 - c0, axis=-1)[..., 0].T
+            noise -= np.linspace(noise[:, 0], noise[:, -1], c1 - c0, axis=-1)
             noise /= max(noise.std(), 1e-6)
             out[s, :, c0:c1] = noise
         n_events = int(rng.poisson(12 * n_samples / 360_000))
