@@ -93,6 +93,7 @@ SLOW_TESTS = {
         "test_labels_stay_valid_distribution",
     },
     "test_pallas.py": {"test_matches_model_rescnn"},
+    "test_parity_gaps.py": {"test_pick_impact_bounded"},
 }
 
 

@@ -114,3 +114,66 @@ class TestEMAExcludesBNStats:
                 np.testing.assert_allclose(o, 0.5 * p, atol=1e-7)
 
         jax.tree_util.tree_map_with_path(check, out, params)
+
+
+WEIGHTS = __import__("os").environ.get(
+    "VOLPICK_TPU_MODELS", "/root/reference/Final_models/volpick"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        __import__("os").path.join(WEIGHTS, "phasenet", "volpick.pt.v1")
+    ),
+    reason="published volpick weights not available",
+)
+class TestResamplingDeviation:
+    """PARITY 'Known deviations': the reference ingest path resamples with
+    obspy's FFT-domain `Trace.resample` (hann-windowed spectrum, reference
+    `volpick/data/convert.py:122-140`); `core/stream.py` uses polyphase
+    `resample_poly`. This pins the measured impact of that numeric deviation
+    on actual picks from the imported PhaseNet: pick sets identical in count
+    and every matched pick within 0.1 s — 5x inside the +-0.5 s TP tolerance
+    of the eval protocol (`eval_taks0.py:242-311`)."""
+
+    def test_pick_impact_bounded(self):
+        from scipy.signal import resample as fft_resample
+        from scipy.signal import resample_poly
+
+        from volpick_tpu.models import from_pretrained
+        from volpick_tpu.picker import WaveformPicker
+
+        rng = np.random.default_rng(7)
+        sr0, sr1, seconds = 200, 100, 120
+        n0 = sr0 * seconds
+        t = np.arange(n0) / sr0
+        x = rng.normal(size=(3, n0)) * 0.02
+        for p_at in (20.0, 55.0, 90.0):  # 3 P + 3 S arrivals
+            env = np.where(t >= p_at, np.exp(-(t - p_at) / 1.5), 0.0)
+            x[0] += np.sin(2 * np.pi * 8 * t) * env * 2.0
+            env_s = np.where(t >= p_at + 3, np.exp(-(t - p_at - 3) / 2.5), 0.0)
+            x[1] += np.sin(2 * np.pi * 3.5 * t) * env_s * 3.0
+            x[2] += np.sin(2 * np.pi * 3.5 * t) * env_s * 2.6
+
+        poly = resample_poly(x, sr1, sr0, axis=-1).astype(np.float32)
+        # obspy Trace.resample: FFT with a hann window on the spectrum
+        fft = fft_resample(x, sr1 * seconds, axis=-1, window="hann").astype(np.float32)
+        rel = float(np.abs(poly - fft).max() / np.abs(poly).max())
+        assert rel < 0.1  # same waveform to a few percent
+
+        model, params = from_pretrained("phasenet", search_paths=[WEIGHTS])
+        picker = WaveformPicker(model, params)
+        thr = {"P": 0.39, "S": 0.34, "N": 2.0}  # shipped volpick.json.v1 defaults
+
+        def picks(data):
+            res = picker.classify_arrays(data[None], thr, overlap=2500, blinding=(250, 250))
+            return {
+                lbl: sorted(int(p) for p, v in zip(res[lbl][0][0], res[lbl][2][0]) if v)
+                for lbl in ("P", "S")
+            }
+
+        a, b = picks(poly), picks(fft)
+        for lbl in ("P", "S"):
+            assert len(a[lbl]) == len(b[lbl]) == 3, (lbl, a, b)
+            for pa, pb in zip(a[lbl], b[lbl]):
+                assert abs(pa - pb) <= 10, (lbl, a, b)  # <= 0.1 s at 100 Hz
