@@ -6,9 +6,13 @@ and shells out to NIED's win32tools for win32 → SAC → mseed conversion
 native — `convert_win32_event_dirs` decodes win32 archives with the built-in
 C++ decoder (`volpick_tpu.io.win32`) and writes per-trace mseed directly, so
 the JapanDataset-equivalent path (JMA catalog → win32 archives → mseed →
-SeisBench dataset) runs end-to-end without external tooling. Only the
-network download itself still drives HinetPy when installed (the Hi-net API
-requires authentication; there is no public protocol to re-implement).
+SeisBench dataset) runs end-to-end without external tooling. The
+authenticated event-waveform download loop is native too —
+`volpick_tpu.acquisition.hinet_net` implements the reference's
+HinetClient2.get_event_waveform orchestration (`data.py:75-175`) over a
+stdlib-urllib wire (fake-wire tested offline; live NIED credentials are the
+only environmental dependency). `HinetDownloader` below remains the
+HinetPy-backed continuous-waveform driver for deployments that have it.
 
 JMA catalog parsing is native too (`volpick_tpu.acquisition.jma`).
 """
