@@ -212,3 +212,44 @@ class TestEndToEnd:
         assert (conv["error"] == "").all(), conv
         st = read_mseed(tmp_path / "japan" / "mseed" / f"{rid_ok}_N.VOLA.mseed")
         assert {tr.stats.channel for tr in st} == {"Z", "N", "E"}
+
+
+class TestUnifiedCatalog:
+    def test_download_strides_and_relogin(self, tmp_path):
+        from volpick_tpu.acquisition.hinet_net import (
+            check_jma_unified_catalog,
+            download_jma_unified_catalog,
+        )
+
+        class Wire:
+            def __init__(self):
+                self.calls = []
+
+            def login(self):
+                self.calls.append("login")
+
+            def get_arrivaltime(self, start, span_days):
+                self.calls.append(("cat", start, span_days))
+                if start.day == 15:  # one bad leg: HTML error page
+                    return b"<!DOCTYPE html>\n<html>error</html>\n"
+                return b"line1\nline2\n"
+
+        # fake clock: each call advances 400 s -> relogin fires mid-run
+        t = [0.0]
+
+        def clock():
+            t[0] += 400.0
+            return t[0]
+
+        wire = Wire()
+        paths = download_jma_unified_catalog(
+            wire, tmp_path, datetime(2020, 1, 1), datetime(2020, 1, 31), clock=clock
+        )
+        # 7-day strides: 1, 8, 15, 22 (29 > 31-6 stops)
+        assert [p.name for p in paths] == [
+            "cat_20200101_20200107", "cat_20200108_20200114",
+            "cat_20200115_20200121", "cat_20200122_20200128",
+        ]
+        assert "login" in wire.calls  # periodic re-login happened
+        bad = check_jma_unified_catalog(tmp_path)
+        assert [p.name for p in bad] == ["cat_20200115_20200121"]

@@ -207,6 +207,18 @@ class UrllibWire:
             raise RuntimeError(f"request {request_id}: response is not a zip archive")
         return raw
 
+    def get_arrivaltime(self, start: date, span_days: int) -> bytes:
+        """JMA unified arrival-time catalog text for [start, start+span_days)
+        (HinetPy ``Client.get_arrivaltime``; reference usage data.py:200-225)."""
+        if not self._logged_in:
+            self.login()
+        return self._call(
+            self.endpoints.get(
+                "arrivaltime", f"{self.base}/JMA/dlDialogue.php"
+            ),
+            {"data": "measure", "rtm": start.strftime("%Y%m%d"), "span": str(span_days)},
+        )
+
 
 def parse_event_rows(text: str) -> List[HinetEvent]:
     """Parse the portal's event-search response.
@@ -395,6 +407,55 @@ class HinetSession:
             logs.append(entry)
         pd.DataFrame(logs).to_csv(self.save_dir / "hinet_event_log.csv", index=False)
         return dirnames
+
+
+def download_jma_unified_catalog(
+    wire,
+    save_dir,
+    startdate: datetime,
+    enddate: datetime,
+    relogin_every_s: float = 600.0,
+    clock: Callable[[], float] = None,
+) -> List[Path]:
+    """Reference ``JapanDataset.download_jma_unified_catalog``
+    (`data.py:192-225`): walk the range in 7-day strides, save each response
+    as ``cat_<start>_<end>``, and refresh the session every 10 minutes (the
+    reference reconnects its client on that cadence)."""
+    import time as _time
+
+    clock = clock or _time.perf_counter
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out: List[Path] = []
+    startdate_limit = enddate - timedelta(days=6)
+    last_connect = clock()
+    cur = startdate
+    while cur <= startdate_limit:
+        blob = wire.get_arrivaltime(cur.date(), 7)
+        name = f"cat_{cur.strftime('%Y%m%d')}_{(cur + timedelta(days=6)).strftime('%Y%m%d')}"
+        path = save_dir / name
+        path.write_bytes(blob)
+        out.append(path)
+        cur += timedelta(days=7)
+        if clock() - last_connect > relogin_every_s:
+            wire.login()
+            last_connect = clock()
+    return out
+
+
+def check_jma_unified_catalog(catalog_dir) -> List[Path]:
+    """Reference ``JapanDataset.check_jma_unified_catalog``
+    (`data.py:227-247`): flag downloads that are single-line or HTML error
+    pages. Returns the bad paths instead of printing."""
+    bad: List[Path] = []
+    for path in sorted(Path(catalog_dir).iterdir()):
+        if not path.is_file():
+            continue
+        text = path.read_text(errors="replace")
+        lines = text.splitlines()
+        if len(lines) <= 1 or "<!DOCTYPE html>" in text:
+            bad.append(path)
+    return bad
 
 
 def _extract_zip(blob: bytes, out_dir: Path) -> None:
