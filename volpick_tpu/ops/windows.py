@@ -191,6 +191,40 @@ def overlap_stack_uniform(
     return out
 
 
+def uniform_stack_weights(
+    n_win: int,
+    stride: int,
+    window: int,
+    blinding: Tuple[int, int],
+    out_len: int,
+) -> np.ndarray:
+    """Static per-sample stacking weights for a uniform window grid.
+
+    Mirrors ``overlap_stack_uniform``'s device-side weight accumulation
+    exactly (same m-block shifted-add formulation, so the float sums are
+    bit-identical): weight[t] = number of non-blinded window samples covering
+    output sample t. Being input-independent, these weights are computed once
+    at trace time on host — the fused classify/annotate path carries only the
+    probability accumulator through its scan and divides by this constant.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    m = max(-(-window // stride), 1)
+    l, r = blinding
+    w_mask = np.zeros((m * stride,), dtype=np.float32)
+    w_mask[l : window - r] = 1.0
+    w_mask = w_mask.reshape(m, stride)
+    total_blocks = n_win + m - 1
+    w = np.zeros((total_blocks, stride), dtype=np.float32)
+    for i in range(m):
+        w[i : i + n_win] += w_mask[i]
+    w = w.reshape(-1)
+    out = np.zeros(out_len, dtype=np.float32)
+    n = min(out_len, w.size)
+    out[:n] = w[:n]
+    return out
+
+
 def steered_window_indices(
     n_samples: int,
     start_sample: np.ndarray,

@@ -40,6 +40,7 @@ from volpick_tpu.ops.windows import (
     frame_windows_uniform,
     overlap_stack,
     overlap_stack_uniform,
+    uniform_stack_weights,
     window_starts,
 )
 
@@ -140,18 +141,23 @@ class WaveformPicker:
         stride: Optional[int],
         flush_start: Optional[int],
     ):
-        """The shared frame → condition → forward (chunked via lax.map to
-        bound VMEM) → overlap-average stack with blinding program, as a
-        traceable python function (params, data, starts) → (S, K, total)
-        curves. Both classify (which appends trigger extraction) and annotate
-        (which returns the curves) jit this same body, so the two surfaces
-        consume the identical window set and stacking math by construction.
+        """The shared frame → condition → forward → overlap-average stack
+        with blinding program, as a traceable python function
+        (params, data, starts) → (S, K, total) curves. Both classify (which
+        appends trigger extraction) and annotate (which returns the curves)
+        jit this same body, so the two surfaces consume the identical window
+        set and stacking math by construction.
 
         With a uniform `stride` (any value; window starts are derived as
-        i·stride, overriding `starts`), framing is gather-free and stacking
-        uses the scatter-free shifted-sum formulation unless the unroll
-        factor ceil(window/stride) would be pathological (tiny strides fall
-        back to the scatter form). `flush_start` (static) adds one final
+        i·stride, overriding `starts`), the whole pipeline is ONE lax.scan
+        carrying the stacked-curve accumulator: each step slices its
+        contiguous stream span, frames it gather-free in the body, runs the
+        model, and adds its locally-stacked contribution at a per-step
+        offset, with host-precomputed static stacking weights
+        (`uniform_stack_weights`). The ~ceil(window/stride)-times-expanded
+        framed windows and the per-window predictions never materialize in
+        HBM. Tiny strides (unroll factor ceil(window/stride) > 64) fall back
+        to gather framing + the fused-scatter stack. `flush_start` (static) adds one final
         window flush with the stream end at total - window — SeisBench's
         annotate places this extra window whenever the uniform grid does not
         end exactly at the last sample (reference `README.md:54-62`); its
@@ -167,66 +173,105 @@ class WaveformPicker:
 
         def curves_of(params, data, starts):
             s, c = data.shape[0], data.shape[1]
-            if use_uniform:
-                # gather-free framing on the uniform grid; the (static)
-                # flush window is one extra contiguous slice
-                frames = frame_windows_uniform(data, n_uni, stride, window)
-                if flush_start is not None:
-                    fl = jax.lax.slice_in_dim(
-                        data, flush_start, flush_start + window, axis=-1
-                    )
-                    frames = jnp.concatenate([frames, fl[None]], axis=0)
-            else:
-                frames = frame_windows(data, starts, window)  # (N, S, C, window)
-            frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
-            n_frames = s * n_win
-            pad = (-n_frames) % chunk
-            frames = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
-            frames = frames.reshape(-1, chunk, c, window)
 
             def fwd(fr):
                 fr = self._condition(fr)
                 return self._apply_model(params, fr)
 
+            if use_uniform:
+                # Fully fused frame → condition → forward → stack as ONE
+                # scan: each step dynamic-slices its contiguous span of the
+                # raw stream, builds its windows gather-free in the body,
+                # runs the model, and accumulates its stacked contribution
+                # into the carried curve accumulator at a per-step offset.
+                # Neither the framed windows (~12x the stream at 500/6000
+                # stride/window) nor the per-window predictions ever
+                # materialize in HBM. Stacking weights are input-independent,
+                # so they are precomputed on host (`uniform_stack_weights`)
+                # and the scan carries only the probability sums. Chunks are
+                # window-major (all stations per window index) so one step's
+                # windows share one contiguous span.
+                k_ch = len(self._prob_channels())
+                m = max(-(-window // stride), 1)
+                wpc = max(1, chunk // s)  # window indices per scan step
+                n_steps = -(-n_uni // wpc)
+                span = (wpc - 1) * stride + window
+                need = (n_steps - 1) * wpc * stride + span
+                total_in = data.shape[-1]
+                datap = (
+                    jnp.pad(data, ((0, 0), (0, 0), (0, need - total_in)))
+                    if need > total_in
+                    else data
+                )
+                local_len = (wpc + m - 1) * stride
+                acc_len = max((n_steps * wpc + m - 1) * stride, total)
+
+                def step(acc, i):
+                    sp = jax.lax.dynamic_slice_in_dim(
+                        datap, i * (wpc * stride), span, axis=-1
+                    )  # (S, C, span)
+                    fr = frame_windows_uniform(sp, wpc, stride, window)
+                    pr = fwd(fr.reshape(wpc * s, c, window))
+                    pr = pr.reshape(wpc, s, k_ch, window)
+                    # zero the padded window indices of the final step
+                    # (their static stacking weight is zero too)
+                    wmask = ((i * wpc + jnp.arange(wpc)) < n_uni).astype(pr.dtype)
+                    pr = pr * wmask[:, None, None, None]
+                    loc = jax.vmap(
+                        lambda q: overlap_stack_uniform(
+                            q, stride, blinding=blinding, stacking=stacking,
+                            return_sums=True,
+                        )[0]
+                    )(jnp.moveaxis(pr, 1, 0))  # (S, K, local_len)
+                    cur = jax.lax.dynamic_slice_in_dim(
+                        acc, i * (wpc * stride), local_len, axis=-1
+                    )
+                    upd = cur + loc if stacking == "avg" else jnp.maximum(cur, loc)
+                    acc = jax.lax.dynamic_update_slice_in_dim(
+                        acc, upd, i * (wpc * stride), axis=-1
+                    )
+                    return acc, None
+
+                acc0 = jnp.zeros((s, k_ch, acc_len), dtype=jnp.float32)
+                acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps))
+
+                wgt = uniform_stack_weights(n_uni, stride, window, blinding, acc_len)
+                if flush_start is not None:
+                    # flush_start + window == total: a static-offset slice add
+                    fl = jax.lax.slice_in_dim(
+                        data, flush_start, flush_start + window, axis=-1
+                    )  # (S, C, window)
+                    fmask = np.zeros((window,), dtype=np.float32)
+                    fmask[l : window - r if r else window] = 1.0
+                    flc = fwd(fl) * jnp.asarray(fmask)[None, None, :]
+                    sl = (slice(None), slice(None),
+                          slice(flush_start, flush_start + window))
+                    if stacking == "avg":
+                        acc = acc.at[sl].add(flc)
+                        wgt = wgt.copy()
+                        wgt[flush_start : flush_start + window] += fmask
+                    else:
+                        acc = acc.at[sl].max(flc)
+                acc = acc[..., :total]
+                if stacking == "avg":
+                    return acc / jnp.asarray(
+                        np.maximum(wgt[:total], 1.0)
+                    )[None, None, :]
+                return acc
+
+            # non-uniform fallback: gather framing + scatter stacking
+            frames = frame_windows(data, starts, window)  # (N, S, C, window)
+            frames = jnp.moveaxis(frames, 0, 1).reshape(s * n_win, c, window)
+            n_frames = s * n_win
+            pad = (-n_frames) % chunk
+            frames = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
+            frames = frames.reshape(-1, chunk, c, window)
             preds = jax.lax.map(fwd, frames)
             k = preds.shape[2]
             preds = preds.reshape(-1, k, window)[:n_frames].reshape(s, n_win, k, window)
-            if use_uniform:
-
-                def stack_one(q):
-                    if flush_start is None:
-                        return overlap_stack_uniform(
-                            q, stride, blinding=blinding, stacking=stacking
-                        )[..., :total]
-                    acc, wgt = overlap_stack_uniform(
-                        q[:n_uni], stride, blinding=blinding, stacking=stacking,
-                        return_sums=True,
-                    )
-                    big = acc.shape[-1]
-                    if big < total:
-                        acc = jnp.pad(acc, ((0, 0), (0, total - big)))
-                        wgt = jnp.pad(wgt, (0, total - big))
-                    else:
-                        acc = acc[..., :total]
-                        wgt = wgt[:total]
-                    fmask = (
-                        jnp.zeros((window,), dtype=q.dtype)
-                        .at[l : window - r if r else window]
-                        .set(1.0)
-                    )
-                    fl = q[n_uni] * fmask
-                    # flush_start + window == total: a static-offset slice add
-                    if stacking == "avg":
-                        acc = acc.at[:, flush_start:].add(fl)
-                        wgt = wgt.at[flush_start:].add(fmask)
-                        return acc / jnp.maximum(wgt, 1.0)[None, :]
-                    return acc.at[:, flush_start:].max(fl)
-
-                curves = jax.vmap(stack_one)(preds)
-            else:
-                curves = jax.vmap(
-                    lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
-                )(preds)  # (S, K, total)
+            curves = jax.vmap(
+                lambda q: overlap_stack(q, starts, total, blinding=blinding, stacking=stacking)
+            )(preds)  # (S, K, total)
             return curves
 
         return curves_of
