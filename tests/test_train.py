@@ -147,6 +147,49 @@ class TestTraining:
         res = trainer.fit(gen, None, max_epochs=1, save_dir="/tmp/vt_test_w", experiment="dp8")
         assert math.isfinite(res["history"][0]["train_loss"])
 
+    def test_resume_continues_epoch_numbering(self, synth_path, tmp_path):
+        """Interrupted run + `resume: true` rerun = one continuous training
+        run: epoch numbering, optimizer step count, plateau state, and the
+        best-checkpoint monitor all carry across the restart (Lightning
+        `fit(ckpt_path=...)` semantics, reference `train.py:214-222`)."""
+        config = {
+            "model": "PhaseNet",
+            "model_args": {"lr": 2e-3, "sigma": 20},
+            "data": str(synth_path),
+            "batch_size": 16,
+            "trainer_args": {"max_epochs": 2},
+            "stack_data": False,
+            "warmup_steps": 4,
+            "save_dir": str(tmp_path / "weights"),
+        }
+        first = train(config, experiment_name="resumable")
+        assert [h["epoch"] for h in first["history"]] == [0, 1]
+        steps_after_first = first["history"][-1]["step"]
+
+        config["trainer_args"]["max_epochs"] = 5
+        config["resume"] = True
+        second = train(config, experiment_name="resumable")
+        # resumed run trains only the remaining epochs, numbered 2..4
+        assert [h["epoch"] for h in second["history"]] == [2, 3, 4]
+        assert second["history"][0]["step"] > steps_after_first
+
+        # metrics.csv is one continuous log: epochs 0..4, no duplicates
+        import csv as _csv
+
+        with open(os.path.join(second["exp_dir"], "metrics.csv")) as f:
+            rows = list(_csv.DictReader(f))
+        assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3, 4]
+
+        # the resumed trainer restored the best monitored value: last.ckpt
+        # carries a finite best_monitor
+        from volpick_tpu.train.checkpoints import load_checkpoint
+
+        raw = load_checkpoint(
+            os.path.join(second["exp_dir"], "checkpoints", "last.ckpt")
+        )
+        assert raw["best_monitor"] is not None and math.isfinite(raw["best_monitor"])
+        assert int(raw["epoch"]) == 4
+
     def test_checkpoint_roundtrip(self, synth_path, tmp_path):
         from volpick_tpu.train.checkpoints import load_checkpoint, save_checkpoint
         from volpick_tpu.models import PhaseNet

@@ -67,9 +67,14 @@ class CheckpointManager:
 
     def update(self, state: Dict, metrics: Dict, epoch: int, step: int):
         value = metrics.get(self.monitor, math.nan)
-        self._write("last", state, epoch, step)
-        if not (value is None or math.isnan(value)) and value < self.best:
+        improved = not (value is None or math.isnan(value)) and value < self.best
+        if improved:
             self.best = value
+        # stamp the post-update best so a resumed run starts from it and
+        # cannot replace this checkpoint with a worse "best"
+        state = dict(state, best_monitor=None if math.isinf(self.best) else self.best)
+        self._write("last", state, epoch, step)
+        if improved:
             if self.best_path and self.best_path.exists():
                 self.best_path.unlink()
             if self.best_path and self.save_ema:

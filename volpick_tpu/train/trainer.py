@@ -164,6 +164,10 @@ class Trainer:
         self.swa_params = None
         self.swa_n = 0
         self.step = 0
+        self.start_epoch = 0
+        # best monitored value carried across restarts so a resumed run
+        # cannot overwrite the pre-restart best checkpoint with a worse one
+        self._restored_best = None
         self._train_step = None
         self._eval_step = None
 
@@ -185,6 +189,20 @@ class Trainer:
         if raw.get("swa_params") is not None:
             self.swa_params = serialization.from_state_dict(self.params, raw["swa_params"])
         self.step = int(raw.get("step", 0))
+        self.swa_n = int(raw.get("swa_n", 0) or 0)
+        # Continue epoch numbering where the interrupted run stopped, like
+        # Lightning's `fit(ckpt_path=...)` (reference resumes via
+        # `trainer.fit(model, ckpt_path=...)`, volpick/model/train.py:214-222).
+        if raw.get("epoch") is not None:
+            self.start_epoch = int(raw["epoch"]) + 1
+        if self.plateau is not None and raw.get("plateau") is not None:
+            p = raw["plateau"]
+            self.plateau.best = float(p.get("best", math.inf))
+            self.plateau.num_bad_epochs = int(p.get("num_bad_epochs", 0))
+            self.plateau.cooldown_counter = int(p.get("cooldown_counter", 0))
+            self.plateau.lr = float(p.get("lr", self.plateau.base_lr))
+        if raw.get("best_monitor") is not None and math.isfinite(float(raw["best_monitor"])):
+            self._restored_best = float(raw["best_monitor"])
         return self
 
     # ------------------------------------------------------------------ steps
@@ -276,11 +294,15 @@ class Trainer:
         # (`volpick/model/train.py:122-130`; TB skipped for test runs there)
         tblog = TensorBoardLogger(exp_dir / "tensorboard") if tensorboard else None
         ckpt = CheckpointManager(exp_dir / "checkpoints", monitor=monitor, save_ema=self.ema)
+        if self._restored_best is not None:
+            ckpt.best = self._restored_best
         stopper = EarlyStopper(patience=100) if early_stop else None
-        rng = jax.random.PRNGKey(self.seed + 1)
+        # Fold the resumed epoch into the aug-PRNG stream so a resumed run
+        # does not replay the pre-restart epochs' augmentation draws.
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1), self.start_epoch)
 
         params, opt_state, ema_params = self.params, self.opt_state, self.ema_params
-        plateau_scale = 1.0
+        plateau_scale = self.plateau.lr if self.plateau is not None else 1.0
         t_start = time.perf_counter()
         history = []
         # PL StochasticWeightAveraging semantics: swa_epoch_start may be an
@@ -295,7 +317,7 @@ class Trainer:
             swa_start_epoch = None
             swa_lr_cfg = None
 
-        for epoch in range(max_epochs):
+        for epoch in range(self.start_epoch, max_epochs):
             # --- train
             losses = []
             for batch in train_gen.epoch():
@@ -375,14 +397,25 @@ class Trainer:
         return {"history": history, "best_checkpoint": str(ckpt.best_path), "exp_dir": str(exp_dir)}
 
     def _state(self, params, opt_state, ema_params, epoch) -> Dict:
-        return {
+        # CheckpointManager.update stamps `best_monitor` (the post-update
+        # best of the monitored loss) on top of this dict before writing.
+        state = {
             "params": params,
             "ema_params": ema_params,
             "swa_params": self.swa_params,
+            "swa_n": self.swa_n,
             "opt_state": opt_state,
             "step": self.step,
             "epoch": epoch,
         }
+        if self.plateau is not None:
+            state["plateau"] = {
+                "best": self.plateau.best,
+                "num_bad_epochs": self.plateau.num_bad_epochs,
+                "cooldown_counter": self.plateau.cooldown_counter,
+                "lr": self.plateau.lr,
+            }
+        return state
 
 
 # --------------------------------------------------------------- config entry
