@@ -132,6 +132,7 @@ def main():
             "warmup_steps": 100,
             "trainer_args": {"max_epochs": args.epochs},
             "save_dir": args.save_dir,
+            "resume": True,  # interrupted legs continue as one run
         },
         "tpupicknet_scratch": {
             "model": "TPUPickNet",
@@ -143,6 +144,7 @@ def main():
             "warmup_steps": 100,
             "trainer_args": {"max_epochs": args.epochs},
             "save_dir": args.save_dir,
+            "resume": True,
         },
     }
 
@@ -240,7 +242,7 @@ def main():
         pick = h.iloc[:: max(len(h) // 12, 1)][["epoch", "train_loss", "val_loss"]]
         n_ep = int(h["epoch"].max()) + 1
         note = (f"trained {n_ep} epochs"
-                + (" (early-stopped by the plateau recipe)" if n_ep < args.epochs else ""))
+                + (" (interrupted before the full budget)" if n_ep < args.epochs else ""))
         lines += [f"### {exp} — {note}", "", fmt_table(pick, floatfmt="{:.5f}"), ""]
     lines += ["## Wall times", "",
               fmt_table(pd.DataFrame([timings]).T.reset_index()
