@@ -151,9 +151,42 @@ def _torch_cpu_throughput(max_windows: int = 256, batch: int = 32, repeats: int 
     return len(starts) / float(np.median(times))
 
 
+def _wait_for_tpu(budget_s: float) -> bool:
+    """Block until the axon TPU backend answers, up to `budget_s` seconds.
+
+    The tunnel flaps for multi-hour stretches (docs/STATUS.md environment
+    note); a failed in-process backend init is cached by jax, so probe in a
+    subprocess and only initialize in-process once a probe succeeds. Returns
+    False if the budget expires with no TPU — the caller should fail loudly
+    rather than print a CPU-backed number as the TPU headline.
+    """
+    import subprocess
+
+    probe = ("import jax; assert any(d.platform != 'cpu' for d in jax.devices())")
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=150,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        print(f"bench: TPU tunnel down, retrying ({int(remaining)}s left)",
+              file=sys.stderr)
+        time.sleep(min(60, max(1, remaining)))
+
+
 def main():
     import volpick_tpu
 
+    if not _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT", "600"))):
+        print("bench: no TPU backend within budget; refusing to benchmark on CPU",
+              file=sys.stderr)
+        sys.exit(1)
     volpick_tpu.enable_compilation_cache()
     tpu, n_picks = _tpu_throughput()
     try:
