@@ -382,7 +382,7 @@ def stage_trigger():
 
     # correctness cross-check on device first
     base = None
-    for method in ("assoc", "shift", "blocked", "pallas"):
+    for method in ("assoc", "shift", "blocked", "pallas", "pallas_full"):
         try:
             res = [
                 np.asarray(a)
@@ -400,7 +400,7 @@ def stage_trigger():
             log({"stage": "trigger", "method": method, "event": "FAILED",
                  "error": f"{type(e).__name__}: {e}"[:1000]})
 
-    for method in ("assoc", "shift", "blocked", "pallas"):
+    for method in ("assoc", "shift", "blocked", "pallas", "pallas_full"):
         def full(p, method=method):
             res = extract_triggers_batched(p, jnp.asarray(thr), max_picks=64, method=method)
             return res[1]  # (B, 64) peak values
@@ -411,7 +411,12 @@ def stage_trigger():
 
         try:
             t_full = bench_loop(full, probs, iters_a=10, iters_b=110)
-            t_scan = bench_loop(scan_only, probs, iters_a=10, iters_b=110)
+            # pallas_full fuses emission into the scan kernel; there is no
+            # separate scan/compaction split to time
+            t_scan = (
+                t_full if method == "pallas_full"
+                else bench_loop(scan_only, probs, iters_a=10, iters_b=110)
+            )
             log({"stage": "trigger", "method": method,
                  "full_ms": round(t_full * 1000, 3),
                  "scan_ms": round(t_scan * 1000, 3),
@@ -442,7 +447,7 @@ def stage_classify_methods():
     st = jnp.asarray(starts)
     import os as _os
 
-    for method in ("assoc", "blocked", "pallas", "shift"):
+    for method in ("assoc", "blocked", "pallas", "shift", "pallas_full"):
         _os.environ["VOLPICK_TRIGGER_METHOD"] = method
         picker = WaveformPicker(model, params)
         run = picker._fused_classify_fn(

@@ -404,7 +404,7 @@ class TestPerRowThresholds:
             gpk = [int(x) for x, v in zip(PK[i], VALID[i]) if v]
             assert gpk == list(wpk[:64])
 
-    @pytest.mark.parametrize("method", ["assoc", "shift", "blocked", "pallas"])
+    @pytest.mark.parametrize("method", ["assoc", "shift", "blocked", "pallas", "pallas_full"])
     def test_scan_methods_exact(self, method):
         """Every trigger scan lowering (XLA associative / Hillis-Steele shift /
         two-level blocked / Pallas VMEM kernel, interpret mode on CPU) is

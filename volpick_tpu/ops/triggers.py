@@ -253,6 +253,9 @@ def default_trigger_method() -> str:
     method = os.environ.get("VOLPICK_TRIGGER_METHOD")
     if method:
         return method
+    # "pallas_full" additionally fuses pick emission into the kernel (no
+    # (B, W) scanned state in HBM, no top_k); it becomes the default once
+    # measured faster on the TPU (tpu_probe trigger/classify_methods stages).
     return "pallas" if jax.default_backend() == "tpu" else "blocked"
 
 
@@ -306,6 +309,17 @@ def extract_triggers_batched(
         thres2 = jnp.asarray(thres1) / 2.0
     if method is None:
         method = default_trigger_method()
+    if method == "pallas_full":
+        # scan + emission fused in one kernel: no (B, W) scanned state in
+        # HBM and no top_k compaction at all (ops/pallas/triggers.py)
+        from volpick_tpu.ops.pallas.triggers import trigger_extract_pallas
+
+        t1 = jnp.asarray(thres1, dtype=prob.dtype)
+        t2 = jnp.asarray(thres2, dtype=prob.dtype)
+        return trigger_extract_pallas(
+            prob, t1, t2, max_picks=max_picks,
+            interpret=jax.default_backend() != "tpu",
+        )
     b, w = prob.shape
     run_end, onset_idx, run_max, run_argmax, pos = _scan_states(
         prob, thres1, thres2, method
