@@ -146,14 +146,30 @@ def main():
             "save_dir": args.save_dir,
             "resume": True,
         },
+        # optional third leg (--only eqtransformer_scratch): the reference's
+        # EQT recipe (EMA, weighted BCE 0.05/0.40/0.55 inside the trainer)
+        # on the same matched budget, completing the from-scratch
+        # convergence story for the second published architecture
+        "eqtransformer_scratch": {
+            "model": "EQTransformer",
+            "model_args": {"lr": 1e-3},
+            "data": str(data_dir),
+            "batch_size": 256,
+            "stack_data": True,
+            "ema": True,
+            "warmup_steps": 100,
+            "trainer_args": {"max_epochs": args.epochs},
+            "save_dir": args.save_dir,
+            "resume": True,
+        },
     }
 
     timings = {}
     for exp, cfg in recipes.items():
         if args.only and exp != args.only:
             continue
-        if args.skip_train and (Path(args.save_dir) / exp / "checkpoints").exists():
-            continue
+        if args.skip_train:
+            continue  # report-only: never start a leg here, even if absent
         t0 = time.perf_counter()
         out = train(cfg, experiment_name=exp)
         timings[f"{exp}_train_s"] = round(time.perf_counter() - t0, 1)
@@ -179,7 +195,10 @@ def main():
                                      "test_p_precision", "test_p_recall",
                                      "test_s_precision", "test_s_recall")}))
 
-    arch_of = {"phasenet_scratch": "phasenet", "tpupicknet_scratch": "tpupicknet"}
+    arch_of = {"phasenet_scratch": "phasenet", "tpupicknet_scratch": "tpupicknet",
+               "eqtransformer_scratch": "eqtransformer"}
+    arch_of = {e: a for e, a in arch_of.items()
+               if (Path(args.save_dir) / e / "checkpoints").exists()}
     for exp, arch in arch_of.items():
         exp_dir = Path(args.save_dir) / exp
         # EMA decay 0.999 over ~2k steps is still init-biased; use raw best
