@@ -211,23 +211,25 @@ def _extract_kernel(prob_ref, t1_ref, t2_ref,
     put(ce, s_cnt[:, 0], c_am[:, 0], c_m[:, 0], c_on[:, 0],
         jnp.full((b,), i * chunk - 1, jnp.int32))
 
-    # 2) in-chunk emissions (lanes 0..L-2; the last lane defers to carry)
+    # 2) in-chunk emissions (lanes 0..L-2; the last lane defers to carry).
+    # The loop carry is an int32 mask (i1 vector carries are fragile in
+    # Mosaic); each iteration peels the first remaining emission per row.
     lastcol = col == (l - 1)
     nxt = jnp.where(lastcol, 1, pltpu.roll(above2, l - 1, axis=1))  # shift left 1
-    emit = in_run & (nxt == 0) & (on < _I32_MAX)
+    emit = ((in_run & (nxt == 0) & (on < _I32_MAX))).astype(jnp.int32)
 
     def cond(mask):
-        return jnp.any(mask)
+        return jnp.sum(mask) > 0
 
     def body(mask):
-        p_first = jnp.min(jnp.where(mask, pos, _I32_MAX), axis=1)  # (B,)
+        p_first = jnp.min(jnp.where(mask > 0, pos, _I32_MAX), axis=1)  # (B,)
         has = p_first < _I32_MAX
-        sel = mask & (pos == p_first[:, None])
+        sel = (mask > 0) & (pos == p_first[:, None])
         on_j = jnp.sum(jnp.where(sel, on, 0), axis=1)
         m_j = jnp.sum(jnp.where(sel, m, 0.0), axis=1)
         am_j = jnp.sum(jnp.where(sel, am, 0), axis=1)
         put(has, s_cnt[:, 0], am_j, m_j, on_j, p_first)
-        return mask & ~sel
+        return mask * (1 - sel.astype(jnp.int32))
 
     jax.lax.while_loop(cond, body, emit)
 
