@@ -100,6 +100,29 @@ class TestPhaseNetClassify:
             best = max(pp, key=lambda p: p.peak_value)
             assert abs(best.peak_time.timestamp - (t0.timestamp + p_at)) < 1.0
 
+    def test_trigger_method_env_identical_picks(self, picker, rng, monkeypatch):
+        """VOLPICK_TRIGGER_METHOD routes classify through each trigger
+        lowering (incl. the fused-emission pallas_full kernel, interpret
+        mode on CPU) with bit-identical pick buffers."""
+        st, _ = synth_event_stream(rng, duration=60.0)
+        data = np.stack([np.stack([tr.data for tr in st])]).astype(np.float32)
+        thr = {"P": 0.1, "S": 0.1, "N": 2.0}
+        base = None
+        for method in ("blocked", "pallas_full"):
+            monkeypatch.setenv("VOLPICK_TRIGGER_METHOD", method)
+            from volpick_tpu.picker import WaveformPicker
+
+            p2 = WaveformPicker(picker.model, picker.params)
+            res = p2.classify_arrays(data, thr, overlap=1500, blinding=(250, 250))
+            flat = {k: tuple(np.asarray(a) for a in v) for k, v in res.items()}
+            if base is None:
+                base = flat
+                assert sum(v[2].sum() for v in flat.values()) > 0
+            else:
+                for lab in base:
+                    for a, b in zip(base[lab], flat[lab]):
+                        np.testing.assert_array_equal(a, b, err_msg=f"{method}/{lab}")
+
     def test_short_stream_pad(self, picker, rng):
         # shorter than one window → must pad, not crash
         data = rng.normal(size=(3, 1000)) * 0.01
