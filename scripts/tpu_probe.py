@@ -471,21 +471,35 @@ def stage_classify_methods():
 
 
 def stage_train():
-    """Training-step throughput on the real chip: EQT batch 512, the FULL
+    """Training-step throughput on the real chip: batch 512, the FULL
     on-device augmentation program (window/label/stack/gap) + forward +
     backward + Adam + BN-stats merge + EMA, chained on device. Reports
-    samples/s/chip — the number behind the zero-loader-worker design claim
-    (VERDICT round-2 item 3b)."""
+    samples/s/chip per architecture — the number behind the
+    zero-loader-worker design claim (VERDICT round-2 item 3b) and the
+    TPUPickNet MXU-first training claim."""
+    import gc
+
+    from volpick_tpu.models import EQTransformer, PhaseNet, TPUPickNet
+
+    for cls in (EQTransformer, PhaseNet, TPUPickNet):
+        try:
+            _train_one_model(cls)
+        except Exception as e:
+            log({"stage": "train", "model": cls.__name__, "event": "FAILED",
+                 "error": f"{type(e).__name__}: {e}"[:500]})
+        gc.collect()
+
+
+def _train_one_model(model_cls):
     import jax
     import jax.numpy as jnp
 
-    from volpick_tpu.models import EQTransformer
     from volpick_tpu.pipeline.augmentations import augment_train_batch
     from volpick_tpu.train.ema import ema_update
     from volpick_tpu.train.trainer import Trainer, make_augment_config, merge_bn_updates
 
     B = 512
-    model = EQTransformer()
+    model = model_cls()
     params = model.init(jax.random.PRNGKey(0))
     trainer = Trainer(model, params, ema=True, lr=1e-3)
     cfg = make_augment_config(model, {}, stack=True)
@@ -549,7 +563,7 @@ def stage_train():
     ta = min(run(la) for _ in range(3))
     tb = min(run(lb) for _ in range(3))
     per_step = max(tb - ta, 1e-9) / 10
-    log({"stage": "train", "model": "EQTransformer", "batch": B,
+    log({"stage": "train", "model": model.name, "batch": B,
          "augment": "full stack program on device", "ema": True,
          "s_per_step": round(per_step, 4),
          "samples_per_s_per_chip": round(B / per_step, 1)})
