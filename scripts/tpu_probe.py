@@ -470,6 +470,39 @@ def stage_classify_methods():
     _os.environ.pop("VOLPICK_TRIGGER_METHOD", None)
 
 
+def stage_classify_archs():
+    """Per-architecture fused classify throughput (VERDICT round-2 item 4:
+    TPUPickNet head-to-head needs a classify windows/s axis beside EQT's).
+
+    Throughput is weight-independent, so PhaseNet/EQTransformer use the
+    imported volpick weights and TPUPickNet its initializer — the workload
+    (8 stations x 20 min, stride 500) and methodology (chained fori_loop,
+    differenced) match run_training_study.classify_throughput exactly."""
+    import jax
+
+    from run_training_study import classify_throughput
+    from volpick_tpu.models import TPUPickNet, from_pretrained
+
+    configs = []
+    for name in ("phasenet", "eqtransformer"):
+        model, params = from_pretrained(
+            name, search_paths=["/root/reference/Final_models/volpick"]
+        )
+        configs.append((name, model, params))
+    tp = TPUPickNet()
+    configs.append(("tpupicknet", tp, tp.init(jax.random.PRNGKey(0))))
+
+    for name, model, params in configs:
+        try:
+            wps = classify_throughput(model, params, model.in_samples - 500)
+            log({"stage": "classify_archs", "model": name,
+                 "window": model.in_samples, "stride": 500,
+                 "classify_windows_per_s": round(wps, 1)})
+        except Exception as e:
+            log({"stage": "classify_archs", "model": name,
+                 "error": f"{type(e).__name__}: {e}"[:500]})
+
+
 def stage_train():
     """Training-step throughput on the real chip: batch 512, the FULL
     on-device augmentation program (window/label/stack/gap) + forward +
@@ -632,6 +665,7 @@ def main():
     ap.add_argument("--chunks", action="store_true")
     ap.add_argument("--trigger", action="store_true")
     ap.add_argument("--classify-methods", action="store_true")
+    ap.add_argument("--classify-archs", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--train", action="store_true")
     args = ap.parse_args()
@@ -655,6 +689,8 @@ def main():
         stage_trigger()
     elif args.classify_methods:
         stage_classify_methods()
+    elif args.classify_archs:
+        stage_classify_archs()
     elif args.profile:
         stage_profile()
     elif args.train:

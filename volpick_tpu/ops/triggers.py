@@ -245,18 +245,19 @@ def default_trigger_method() -> str:
     All methods are exact (property-tested vs the numpy oracle); they differ
     only in lowering cost. On-TPU measurements (docs/TPU_PROBE.jsonl trigger
     stage, 24x120k curves): pallas 3.18 ms full extract / 0.39 ms scan,
-    blocked 3.24 ms, shift 3.20 ms, assoc 12.2 ms — so the Pallas VMEM scan
-    kernel is the TPU default (the first Pallas kernel on a default path).
-    On CPU the kernel would run in interpret mode (orders of magnitude
-    slower), so non-TPU backends default to the pure-XLA blocked scan.
+    blocked 3.24 ms, shift 3.20 ms, assoc 12.2 ms. End-to-end fused classify
+    (classify_methods stage, 1832 windows/iter, one-scan fusion):
+    pallas_full 110.1 k windows/s vs pallas/blocked/shift 100.2–100.9 k vs
+    assoc 66.9 k — "pallas_full" fuses pick emission into the kernel too (no
+    (B, W) scanned state in HBM, no top_k compaction), so it is the TPU
+    default. On CPU the kernels would run in interpret mode (orders of
+    magnitude slower), so non-TPU backends default to the pure-XLA blocked
+    scan.
     """
     method = os.environ.get("VOLPICK_TRIGGER_METHOD")
     if method:
         return method
-    # "pallas_full" additionally fuses pick emission into the kernel (no
-    # (B, W) scanned state in HBM, no top_k); it becomes the default once
-    # measured faster on the TPU (tpu_probe trigger/classify_methods stages).
-    return "pallas" if jax.default_backend() == "tpu" else "blocked"
+    return "pallas_full" if jax.default_backend() == "tpu" else "blocked"
 
 
 def _earliest_k(order: jnp.ndarray, sentinel: int, k: int, block: int = 4096):
