@@ -31,7 +31,7 @@ import pandas as pd
 from run_eval_benchmark import fmt_table  # noqa: E402  (same scripts dir)
 
 
-def classify_throughput(model, params, overlap):
+def classify_throughput(model, params, overlap, precision="float32"):
     """Fused classify windows/s on the 8-station 20-min workload (chained
     fori_loop, differenced — same methodology as bench.py)."""
     import jax
@@ -40,7 +40,7 @@ def classify_throughput(model, params, overlap):
     from volpick_tpu.ops.windows import window_starts
     from volpick_tpu.picker import WaveformPicker
 
-    picker = WaveformPicker(model, params)
+    picker = WaveformPicker(model, params, precision=precision)
     window = model.in_samples
     rng = np.random.default_rng(0)
     data = rng.normal(size=(8, 3, 120000)).astype(np.float32)

@@ -470,6 +470,45 @@ def stage_classify_methods():
     _os.environ.pop("VOLPICK_TRIGGER_METHOD", None)
 
 
+def stage_annotate():
+    """annotate_array throughput on the bench workload (BASELINE config 3:
+    continuous multi-station probability curves). Since round 3 annotate
+    rides the same one-scan program family as classify (curves body without
+    trigger extraction) — this records its windows/s beside classify's so
+    the unified-path claim has a number (VERDICT round-2 item 5 tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    picker = WaveformPicker(model, params)
+    S, WINDOW, OVERLAP = 8, 6000, 5500
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(S, 3, 120000)).astype(np.float32)
+    total = data.shape[-1]
+    starts = window_starts(total, WINDOW, OVERLAP)
+    n_win = len(starts)
+    st = jnp.asarray(starts)
+    run = picker._fused_annotate_fn(
+        S, n_win, total, (500, 500), "avg", 256, stride=WINDOW - OVERLAP
+    )
+
+    def op(x):
+        curves = run(picker.params, x, st)  # (S, K, total)
+        return jnp.sum(curves, axis=(0, 2))
+
+    t = bench_loop(op, data, iters_a=4, iters_b=24)
+    log({"stage": "annotate", "model": "eqtransformer", "stations": S,
+         "window": WINDOW, "overlap": OVERLAP,
+         "ms_per_iter": round(t * 1000, 2),
+         "annotate_windows_per_s": round(S * n_win / t, 1)})
+
+
 def stage_classify_archs():
     """Per-architecture fused classify throughput (VERDICT round-2 item 4:
     TPUPickNet head-to-head needs a classify windows/s axis beside EQT's).
@@ -493,14 +532,22 @@ def stage_classify_archs():
     configs.append(("tpupicknet", tp, tp.init(jax.random.PRNGKey(0))))
 
     for name, model, params in configs:
-        try:
-            wps = classify_throughput(model, params, model.in_samples - 500)
-            log({"stage": "classify_archs", "model": name,
-                 "window": model.in_samples, "stride": 500,
-                 "classify_windows_per_s": round(wps, 1)})
-        except Exception as e:
-            log({"stage": "classify_archs", "model": name,
-                 "error": f"{type(e).__name__}: {e}"[:500]})
+        # bf16 axis only where the forward is matmul-bound (TPUPickNet):
+        # PhaseNet/EQT measured bf16≈fp32 in stage_axes (VPU/LSTM-bound).
+        precisions = ("float32", "bfloat16") if name == "tpupicknet" else ("float32",)
+        for precision in precisions:
+            try:
+                wps = classify_throughput(
+                    model, params, model.in_samples - 500, precision=precision
+                )
+                log({"stage": "classify_archs", "model": name,
+                     "window": model.in_samples, "stride": 500,
+                     "precision": precision,
+                     "classify_windows_per_s": round(wps, 1)})
+            except Exception as e:
+                log({"stage": "classify_archs", "model": name,
+                     "precision": precision,
+                     "error": f"{type(e).__name__}: {e}"[:500]})
 
 
 def stage_train():
@@ -666,6 +713,7 @@ def main():
     ap.add_argument("--trigger", action="store_true")
     ap.add_argument("--classify-methods", action="store_true")
     ap.add_argument("--classify-archs", action="store_true")
+    ap.add_argument("--annotate", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--train", action="store_true")
     args = ap.parse_args()
@@ -691,6 +739,8 @@ def main():
         stage_classify_methods()
     elif args.classify_archs:
         stage_classify_archs()
+    elif args.annotate:
+        stage_annotate()
     elif args.profile:
         stage_profile()
     elif args.train:

@@ -33,6 +33,20 @@ class TestForward:
         y, updates = model.apply(params, jnp.zeros((1, 3, 3008)), train=True)
         assert updates == {}
 
+    def test_bf16_forward_stays_bf16(self, rng):
+        """Regression: a np.float64 attention scale silently promoted the
+        whole transformer to float32, breaking bf16 inference (conv dtype
+        mismatch at the decoder). bf16 params + bf16 input must run
+        end-to-end in bf16 and land near the fp32 probabilities."""
+        model = TPUPickNet(n_layers=2)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.normal(size=(2, 3, 3008)), dtype=jnp.float32)
+        y32 = model.apply(params, x)
+        p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+        y16 = model.apply(p16, x.astype(jnp.bfloat16))
+        assert y16.dtype == jnp.bfloat16
+        assert float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32)))) < 0.05
+
 
 class TestTraining:
     def test_learns_on_synthetic(self, tmp_path):

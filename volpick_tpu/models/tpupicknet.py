@@ -123,7 +123,9 @@ class TPUPickNet:
         # (B, D, T) → (B, T, D)
         h = h.transpose(0, 2, 1) + params["pos"][None]
 
-        scale = 1.0 / np.sqrt(d // self.n_heads)
+        # python float (weak type): a np.float64 scalar here would promote the
+        # whole attention graph to float32 and break bf16 inference.
+        scale = float(1.0 / np.sqrt(d // self.n_heads))
         t = h.shape[1]
         for blk in params["blocks"]:
             y = _layer_norm(h, blk["ln1"]["scale"], blk["ln1"]["bias"])
