@@ -82,8 +82,8 @@ def classify_throughput(model, params, overlap, precision="float32"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default="/tmp/volpick_eval_benchmark")
-    ap.add_argument("--eval-dir", default="/tmp/volpick_eval_out")
+    ap.add_argument("--data-dir", default="/tmp/volpick_hard_benchmark")
+    ap.add_argument("--eval-dir", default="/tmp/volpick_hard_eval_out")
     ap.add_argument("--save-dir", default="/tmp/volpick_train_study")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--skip-train", action="store_true",

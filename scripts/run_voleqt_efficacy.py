@@ -64,8 +64,8 @@ def rank_auc(scores, labels):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default="/tmp/volpick_eval_benchmark")
-    ap.add_argument("--eval-dir", default="/tmp/volpick_eval_out")
+    ap.add_argument("--data-dir", default="/tmp/volpick_hard_benchmark")
+    ap.add_argument("--eval-dir", default="/tmp/volpick_hard_eval_out")
     ap.add_argument("--save-dir", default="/tmp/volpick_voleqt_study")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--skip-train", action="store_true")
