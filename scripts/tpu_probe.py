@@ -704,6 +704,131 @@ def stage_profile():
              "error": f"{type(e).__name__}: {e}"[:1000]})
 
 
+def stage_scan_breakdown():
+    """Decompose the ONE-SCAN fused classify (the production default since
+    round 3) stage by stage on the bench workload (8 stations x 120 k
+    samples, stride 500, chunk 256): scan skeleton + framing, + conditioning,
+    + forward, + local stack/accumulate, and the full program including
+    trigger extraction (`WaveformPicker._fused_classify_fn`). Each variant
+    keeps the identical scan structure so the differences isolate each
+    stage's marginal cost inside the production program (VERDICT r3 item 4:
+    fused 110 k vs pure forward 330 k windows/s — where do 2/3 go?)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.signal import detrend_linear, normalize_amplitude
+    from volpick_tpu.ops.windows import frame_windows_uniform, overlap_stack_uniform
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    S, C, WINDOW, STRIDE, TOTAL, CHUNK = 8, 3, 6000, 500, 120000, 256
+    N = (TOTAL - WINDOW) // STRIDE + 1  # 229
+    m = -(-WINDOW // STRIDE)
+    wpc = max(1, CHUNK // S)
+    n_steps = -(-N // wpc)
+    span = (wpc - 1) * STRIDE + WINDOW
+    need = (n_steps - 1) * wpc * STRIDE + span
+    local_len = (wpc + m - 1) * STRIDE
+    acc_len = max((n_steps * wpc + m - 1) * STRIDE, TOTAL)
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(S, C, TOTAL)).astype(np.float32)
+
+    def cond(fr):
+        return normalize_amplitude(detrend_linear(fr), norm="peak", per_channel=True)
+
+    def fwd(fr):
+        det, p, s = model.apply(params, fr)
+        return jnp.stack([det, p, s], axis=1)
+
+    def build(mode):
+        def run(d):
+            datap = (jnp.pad(d, ((0, 0), (0, 0), (0, need - TOTAL)))
+                     if need > TOTAL else d)
+            if mode == "pure_forward":
+                # no scan/framing: lax.map over preconditioned fixed chunks
+                frames = jnp.broadcast_to(
+                    datap[:, :, :WINDOW], (S, C, WINDOW)
+                )
+                batch = jnp.tile(frames, (CHUNK // S, 1, 1))  # (CHUNK, C, WINDOW)
+                stacked = jnp.broadcast_to(batch, (n_steps,) + batch.shape)
+                out = jax.lax.map(fwd, stacked)
+                return jnp.sum(out[..., ::997])
+
+            if mode in ("frame", "condition", "forward"):
+                def step(carry, i):
+                    sp = jax.lax.dynamic_slice_in_dim(
+                        datap, i * (wpc * STRIDE), span, axis=-1)
+                    fr = frame_windows_uniform(sp, wpc, STRIDE, WINDOW)
+                    fr2 = fr.reshape(wpc * S, C, WINDOW)
+                    if mode == "frame":
+                        return carry + jnp.sum(fr2[..., ::997]), None
+                    fr2 = cond(fr2)
+                    if mode == "condition":
+                        return carry + jnp.sum(fr2[..., ::997]), None
+                    pr = fwd(fr2).reshape(wpc, S, 3, WINDOW)
+                    wmask = ((i * wpc + jnp.arange(wpc)) < N).astype(pr.dtype)
+                    pr = pr * wmask[:, None, None, None]
+                    return carry + jnp.sum(pr[..., ::997]), None
+
+                out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(n_steps))
+                return out
+
+            # mode == "stack": the full production accumulation
+            def step(acc, i):
+                sp = jax.lax.dynamic_slice_in_dim(
+                    datap, i * (wpc * STRIDE), span, axis=-1)
+                fr = frame_windows_uniform(sp, wpc, STRIDE, WINDOW)
+                pr = fwd(cond(fr.reshape(wpc * S, C, WINDOW)))
+                pr = pr.reshape(wpc, S, 3, WINDOW)
+                wmask = ((i * wpc + jnp.arange(wpc)) < N).astype(pr.dtype)
+                pr = pr * wmask[:, None, None, None]
+                loc = jax.vmap(
+                    lambda q: overlap_stack_uniform(
+                        q, STRIDE, blinding=(500, 500), stacking="avg",
+                        return_sums=True)[0]
+                )(jnp.moveaxis(pr, 1, 0))
+                cur = jax.lax.dynamic_slice_in_dim(
+                    acc, i * (wpc * STRIDE), local_len, axis=-1)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, cur + loc, i * (wpc * STRIDE), axis=-1)
+                return acc, None
+
+            acc0 = jnp.zeros((S, 3, acc_len), dtype=jnp.float32)
+            acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps))
+            return jnp.sum(acc[..., ::997])
+
+        return run
+
+    results = {"stage": "scan_breakdown", "n_windows_per_iter": S * N,
+               "wpc": wpc, "n_steps": n_steps}
+    for mode in ("pure_forward", "frame", "condition", "forward", "stack"):
+        t = bench_loop(build(mode), data, iters_a=4, iters_b=24)
+        results[f"{mode}_ms_per_iter"] = round(t * 1000, 2)
+        results[f"{mode}_windows_per_s"] = round(S * N / t, 1)
+        log({k: results[k] for k in ("stage", f"{mode}_ms_per_iter",
+                                     f"{mode}_windows_per_s")})
+
+    # full program incl. trigger, via the production entry point
+    picker = WaveformPicker(model, params)
+    starts = np.arange(N) * STRIDE
+    run_full = picker._fused_classify_fn(
+        S, N, TOTAL, (500, 500), "avg", (0.10141666, 0.22, 0.22), 64, CHUNK,
+        stride=STRIDE)
+    st = jnp.asarray(starts)
+
+    def full_op(d):
+        res = run_full(picker.params, d, st)
+        return sum(jnp.sum(v[1]) for v in res.values())
+
+    t = bench_loop(full_op, data, iters_a=4, iters_b=24)
+    results["full_ms_per_iter"] = round(t * 1000, 2)
+    results["full_windows_per_s"] = round(S * N / t, 1)
+    log(results)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rescnn", action="store_true")
@@ -716,6 +841,7 @@ def main():
     ap.add_argument("--annotate", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--scan-breakdown", action="store_true")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -745,6 +871,8 @@ def main():
         stage_profile()
     elif args.train:
         stage_train()
+    elif args.scan_breakdown:
+        stage_scan_breakdown()
     else:
         stage_conditioning()
 
