@@ -190,6 +190,72 @@ class TestSteeredDevicePath:
             )
             np.testing.assert_allclose(x_dev, x_host, atol=2e-6)
 
+    def test_steered_runner_demeans_for_eqt(self, ds):
+        """Eval-time conditioning is demean (NOT detrend) for every model,
+        EQT included: the reference's eval augmentations are SteeredWindow +
+        Normalize(demean_axis=-1) for all architectures (reference
+        `volpick/model/models.py:445-452` PhaseNet, `:849-856` EQT); detrend
+        appears only in EQT's TRAINING block (`:663`). Regression for the r4
+        bias investigation (scripts/run_eqt_bias_check.py): on a strongly
+        trending input, the runner's curves must match the demean-conditioned
+        forward and differ from the detrend-conditioned one."""
+        import jax
+        import jax.numpy as jnp
+
+        from volpick_tpu.eval.task0 import _SteeredRunner
+        from volpick_tpu.models.eqtransformer import EQTransformer
+        from volpick_tpu.ops.signal import (
+            demean,
+            detrend_linear,
+            normalize_amplitude,
+        )
+
+        model = EQTransformer()
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        n = 9000
+        # strong linear ramp makes demean and detrend conditioning diverge
+        x = (rng.normal(size=(2, 3, n)) * 0.1
+             + np.linspace(0, 50, n)[None, None, :]).astype(np.float32)
+
+        class _FakeDS:
+            sampling_rate = 100.0
+            metadata = pd.DataFrame({
+                "trace_name": ["a", "b"],
+                "trace_sampling_rate_hz": [100.0, 100.0],
+                "trace_p_arrival_sample": [3000.0, 3500.0],
+                "trace_s_arrival_sample": [3400.0, 4100.0],
+            })
+
+            def get_sample(self, i):
+                return x[i], {}
+
+            def get_waveforms(self, i):
+                return x[i]
+
+            def __len__(self):
+                return 2
+
+        targets = pd.DataFrame({
+            "trace_idx": [0, 1], "start_sample": [1500, 2000],
+            "end_sample": [4500, 5000], "trace_split": ["test", "test"],
+        })
+        runner = _SteeredRunner(model, params, batch_size=2)
+        curves, borders = runner.prob_curves(_FakeDS(), targets)
+
+        w0 = targets["start_sample"].to_numpy() - borders[:, 0]
+        frames = np.stack([x[i, :, int(w0[i]):int(w0[i]) + 6000] for i in (0, 1)])
+        for cond, should_match in ((demean, True), (detrend_linear, False)):
+            fr = normalize_amplitude(cond(jnp.asarray(frames)),
+                                     norm=model.norm, per_channel=True)
+            out = model.apply(params, fr)
+            ref = np.asarray(jnp.stack(out, axis=1))
+            diff = float(np.max(np.abs(ref - curves)))
+            if should_match:
+                assert diff < 1e-5, f"runner must demean (diff {diff})"
+            else:
+                assert diff > 1e-3, "sanity: detrend variant should differ"
+
     @needs_weights
     def test_evaluate_sweep_equals_per_threshold(self, ds, tmp_path):
         """The single-pass all-thresholds device sweep produces exactly the

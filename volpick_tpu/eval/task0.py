@@ -145,14 +145,18 @@ class _SteeredRunner:
         self.model = model
         self.params = params
         self.batch_size = batch_size
-        self.is_eqt = model.name in ("EQTransformer", "VolEQTransformer")
         self._source = None
         window = model.in_samples
 
         @jax.jit
         def forward(params, x_raw, w0):
+            # reference eval augmentations demean for ALL models — detrend
+            # appears only in EQT's TRAINING block (reference
+            # `volpick/model/models.py:849-856` vs :663). Measured impact nil:
+            # the r4 bias check (scripts/run_eqt_bias_check.py) put
+            # detrend-vs-demean mean pick residuals within 0.0005 s.
             frames = steered_frames(
-                x_raw, w0, window, detrend=self.is_eqt, norm=model.norm
+                x_raw, w0, window, detrend=False, norm=model.norm
             )
             out = model.apply(params, frames)
             if isinstance(out, tuple):  # EQT family: per-head outputs
@@ -269,7 +273,6 @@ def evaluate_sweep(
     `prob_thresholds`, with the same per-window pick lists `evaluate`
     produces (equality-tested in tests/test_eval.py).
     """
-    is_eqt = model.name in ("EQTransformer", "VolEQTransformer")
     window = model.in_samples
     chans = _phase_channels(model)
     kis = (chans["P"], chans["S"])
@@ -278,7 +281,8 @@ def evaluate_sweep(
 
     @jax.jit
     def run(params, x_raw, w0, borders):
-        frames = steered_frames(x_raw, w0, window, detrend=is_eqt, norm=model.norm)
+        # demean for all models: reference eval augs (`models.py:849-856`)
+        frames = steered_frames(x_raw, w0, window, detrend=False, norm=model.norm)
         out = model.apply(params, frames)
         preds = jnp.stack(out, axis=1) if isinstance(out, tuple) else out
         t = jnp.arange(window)[None, :]

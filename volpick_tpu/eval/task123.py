@@ -41,7 +41,8 @@ def _predict_scores(model, params, dataset, targets: pd.DataFrame, batch_size: i
 
     @jax.jit
     def forward(params, x_raw, w0, borders):
-        x = steered_frames(x_raw, w0, window, detrend=is_eqt, norm=model.norm)
+        # demean for all models: reference eval augs (`models.py:849-856`)
+        x = steered_frames(x_raw, w0, window, detrend=False, norm=model.norm)
         t = jnp.arange(window)[None, :]
         mask = (t >= borders[:, :1]) & (t < borders[:, 1:2])
         extra = ()
