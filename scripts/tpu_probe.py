@@ -221,13 +221,19 @@ def stage_axes():
         dt = time.perf_counter() - t0
         results[f"classify_{precision}_windows_per_s"] = round(8 * n_win * 12 / dt, 1)
 
-    # pure device forward (no framing/stacking/triggering, no tunnel in loop)
+    # pure device forward (no framing/stacking/triggering, no tunnel in loop).
+    # MUST consume every output head: round 3 sliced `[:, 0]` (detection
+    # only), which let XLA dead-code-eliminate the P and S decoder branches
+    # and report 330k windows/s — 2.59e8 FLOPs/window x 330k = 85 TFLOP/s,
+    # over the v5e fp32 MXU peak, i.e. physically impossible for the full
+    # model. The honest full-output forward is ~100k windows/s, so the fused
+    # one-scan classify (~110k) is AT the forward bound (r4 scan_breakdown).
     frames = rng.normal(size=(256, 3, WINDOW)).astype(np.float32)
     for precision in ("float32", "bfloat16"):
         picker = WaveformPicker(model, params, precision=precision)
 
         def fwd(v):
-            return picker._apply_model(picker.params, v)[:, 0]  # (N, K, W) → det
+            return picker._apply_model(picker.params, v)  # (N, K, W), all heads
 
         t = bench_loop(fwd, frames, iters_a=10, iters_b=110)
         results[f"forward_{precision}_windows_per_s"] = round(256 / t, 1)
