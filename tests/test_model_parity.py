@@ -124,6 +124,31 @@ class TestEQTransformer:
         det, p, s = model.apply(params, jnp.zeros((1, 3, 6000)))
         assert det.shape == p.shape == s.shape == (1, 6000)
 
+    def test_fused_inference_matches_reference_program(self):
+        """The merged-scan/grouped-conv inference path (the eval default) must
+        be numerically the reference per-branch program (float-reassociation
+        noise only)."""
+        from volpick_tpu.models import EQTransformer
+        from volpick_tpu.models.eqtransformer import VolEQTransformer
+
+        for cls in (EQTransformer, VolEQTransformer):
+            model = cls()
+            params = model.init(jax.random.PRNGKey(3))
+            x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 6000))
+            ref = model.apply(params, x, fused=False)
+            got = model.apply(params, x, fused=True)
+            assert len(ref) == len(got)
+            for r, g in zip(ref, got):
+                assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-5
+
+    def test_fused_rejected_in_train_mode(self):
+        from volpick_tpu.models import EQTransformer
+
+        model = EQTransformer()
+        params = model.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError):
+            model.apply(params, jnp.zeros((1, 3, 6000)), train=True, fused=True)
+
     def test_encoder_length_arithmetic(self):
         from volpick_tpu.models.eqtransformer import (
             _decoder_crops,

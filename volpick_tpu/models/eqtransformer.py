@@ -36,6 +36,7 @@ from volpick_tpu.models.layers import (
     dropout,
     layer_norm_keras,
     lstm,
+    lstm_multi,
     max_pool1d,
     seq_self_attention,
     spatial_dropout1d,
@@ -208,11 +209,25 @@ class EQTransformer:
         train: bool = False,
         rng: Optional[jax.Array] = None,
         logits: bool = False,
+        fused: Optional[bool] = None,
     ):
         """x: (B, 3, 6000) → (detection, P, S) each (B, 6000).
 
         In train mode returns ((det, p, s), bn_updates); `rng` drives dropout.
+
+        `fused` (default: eval mode only) routes inference through the
+        scan/conv-merged program: each BiLSTM's two directions and the P/S
+        pick LSTMs ride single lstm_multi scans (8 sequential 47-step scans →
+        4), and the det/P/S upsampling decoders + output convs run as ONE
+        grouped conv stack (feature_group_count = #branches) — mathematically
+        the same branches, 1/3 the conv launches and 3× the work per conv for
+        the MXU. Train mode keeps the per-branch program (per-branch dropout
+        masks).
         """
+        if fused is None:
+            fused = not train
+        if fused and train:
+            raise ValueError("fused EQTransformer path is inference-only")
         updates: Dict = {}
         rngs = iter(jax.random.split(rng, 64)) if rng is not None else iter([])
 
@@ -250,7 +265,7 @@ class EQTransformer:
 
         # --- BiLSTM stack
         for j, block in enumerate(params["bilstm"]):
-            y = bilstm(h, block["lstm"])
+            y = bilstm(h, block["lstm"], fused=fused)
             y = dropout(y, self.drop_rate, next_rng(), train)
             y = conv1d(y, block["conv"]["w"], block["conv"]["b"])
             h = bn(y, block["norm"], f"bilstm.{j}.norm")
@@ -280,6 +295,47 @@ class EQTransformer:
                     h = h[..., :-1]
                 h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
             return h
+
+        if fused:
+            # Both pick LSTMs in ONE scan, then one grouped decode for every
+            # branch (detection heads + phases).
+            n_phase = len(params["pick_lstms"])
+            branch_ins = [h for _ in self.detection_branches]
+            if n_phase:
+                xs = jnp.broadcast_to(h[None], (n_phase,) + h.shape)
+                w_ih = jnp.stack([lp["w_ih"] for lp in params["pick_lstms"]])
+                w_hh = jnp.stack([lp["w_hh"] for lp in params["pick_lstms"]])
+                bias = jnp.stack([lp["b_ih"] + lp["b_hh"] for lp in params["pick_lstms"]])
+                px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
+                attn_p = jax.tree.map(lambda *a: jnp.stack(a), *params["pick_attentions"])
+                px = jax.vmap(
+                    lambda xb, pb: seq_self_attention(xb, pb, attention_width=3, eps=_ATTN_EPS)[0]
+                )(px, attn_p)
+                branch_ins.extend(px[i] for i in range(n_phase))
+
+            dec_lists = [params[dk] for dk, _ in self.detection_branches]
+            dec_lists += list(params["pick_decoders"])
+            out_convs = [params[ck] for _, ck in self.detection_branches]
+            out_convs += list(params["pick_convs"])
+            groups = len(dec_lists)
+
+            z = jnp.concatenate(branch_ins, axis=1)  # (B, groups*16, T)
+            for i in range(len(dec_lists[0])):
+                z = upsample_nearest(z, 2)
+                if i in crops:
+                    z = z[..., :-1]
+                w_g = jnp.concatenate([d[i]["w"] for d in dec_lists], axis=0)
+                b_g = jnp.concatenate([d[i]["b"] for d in dec_lists], axis=0)
+                z = act(conv1d_same(z, w_g, b_g, groups=groups))
+            w_o = jnp.concatenate([c["w"] for c in out_convs], axis=0)
+            b_o = jnp.concatenate([c["b"] for c in out_convs], axis=0)
+            preds = conv1d_same(z, w_o, b_o, groups=groups)  # (B, groups, W)
+            if not logits:
+                preds = jax.nn.sigmoid(preds)
+            out = tuple(preds[:, i] for i in range(groups))
+            if train:
+                return out, updates
+            return out
 
         outputs = []
         for dec_key, conv_key in self.detection_branches:

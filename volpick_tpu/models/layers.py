@@ -32,8 +32,15 @@ def conv1d(
     stride: int = 1,
     padding: Tuple[int, int] = (0, 0),
     lhs_dilation: int = 1,
+    groups: int = 1,
 ) -> jnp.ndarray:
-    """1D convolution, NCW x (O,I,K) → NCW."""
+    """1D convolution, NCW x (O,I,K) → NCW.
+
+    With groups=G (feature_group_count), input channels split into G groups
+    of I each and filter rows [g·O/G, (g+1)·O/G) convolve group g — used to
+    run several same-shaped branches (e.g. the EQT det/P/S decoders) as one
+    wider conv instead of G sequential small ones.
+    """
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -41,17 +48,18 @@ def conv1d(
         padding=[padding],
         lhs_dilation=(lhs_dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
     )
     if b is not None:
         y = y + b[None, :, None]
     return y
 
 
-def conv1d_same(x, w, b=None):
+def conv1d_same(x, w, b=None, groups: int = 1):
     """'same' conv for odd or even kernels (even pads one extra on the right,
     torch/keras asymmetric-same convention used by the reference models)."""
     k = w.shape[-1]
-    return conv1d(x, w, b, padding=((k - 1) // 2, k // 2))
+    return conv1d(x, w, b, padding=((k - 1) // 2, k // 2), groups=groups)
 
 
 def conv_transpose1d(
@@ -189,8 +197,60 @@ def lstm(
     return hs.transpose(1, 2, 0)  # (B, H, T)
 
 
-def bilstm(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """Bidirectional LSTM: concat forward and backward hidden states on channels."""
+def lstm_multi(
+    xs: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """G independent LSTMs advanced by ONE scan. xs (G, B, C, T) → (G, B, H, T).
+
+    Weights are stacked per branch: w_ih (G, 4H, C), w_hh (G, 4H, H),
+    bias (G, 4H) (= b_ih + b_hh). Each branch g computes exactly
+    ``lstm(xs[g], w_ih[g], ...)``; merging them keeps the 47-step sequential
+    chain but runs G tiny per-step matmuls as one batched einsum — the pick
+    LSTMs and the BiLSTM directions are latency-bound, so halving/quartering
+    the number of scans cuts the sequential critical path directly.
+    Branches that should run reversed must be time-flipped by the caller
+    (flip input, flip the returned hidden states back).
+    """
+    g, b, c, t = xs.shape
+    h_dim = w_hh.shape[-1]
+    x_t = xs.transpose(3, 0, 1, 2)  # (T, G, B, C)
+    x_proj = jnp.einsum("tgbc,ghc->tgbh", x_t, w_ih) + bias[:, None, :]
+
+    def step(carry, xp):
+        h, cell = carry
+        gates = xp + jnp.einsum("gbh,gkh->gbk", h, w_hh)
+        i, f, gg, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        gg = jnp.tanh(gg)
+        cell = f * cell + i * gg
+        h = o * jnp.tanh(cell)
+        return (h, cell), h
+
+    init = (
+        jnp.zeros((g, b, h_dim), xs.dtype),
+        jnp.zeros((g, b, h_dim), xs.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, x_proj)  # (T, G, B, H)
+    return hs.transpose(1, 2, 3, 0)  # (G, B, H, T)
+
+
+def bilstm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], fused: bool = False) -> jnp.ndarray:
+    """Bidirectional LSTM: concat forward and backward hidden states on channels.
+
+    With ``fused=True`` both directions ride one lstm_multi scan (the reverse
+    direction scans the time-flipped input and its outputs are flipped back) —
+    numerically the same recurrence, half the sequential scans.
+    """
+    if fused:
+        xs = jnp.stack([x, x[..., ::-1]])
+        w_ih = jnp.stack([p["w_ih"], p["w_ih_rev"]])
+        w_hh = jnp.stack([p["w_hh"], p["w_hh_rev"]])
+        bias = jnp.stack([p["b_ih"] + p["b_hh"], p["b_ih_rev"] + p["b_hh_rev"]])
+        hs = lstm_multi(xs, w_ih, w_hh, bias)
+        return jnp.concatenate([hs[0], hs[1][..., ::-1]], axis=1)
     fwd = lstm(x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
     bwd = lstm(x, p["w_ih_rev"], p["w_hh_rev"], p["b_ih_rev"], p["b_hh_rev"], reverse=True)
     return jnp.concatenate([fwd, bwd], axis=1)
