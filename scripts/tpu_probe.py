@@ -655,6 +655,76 @@ def _train_one_model(model_cls):
          "samples_per_s_per_chip": round(B / per_step, 1)})
 
 
+def stage_train_e2e():
+    """END-TO-END training wall time over the axon tunnel: device-resident
+    trace pools (TrainGenerator device_data=True — pools uploaded once,
+    per-step traffic is index vectors) vs host-shipped window crops
+    (device_data=False — ~5×(B,3,W) float32 per step, the r3 design).
+    Unlike stage_train (batches pre-uploaded, chained fori_loop) this
+    includes the real per-step host->device path the trainer runs, so the
+    gap between the two modes IS the tunnel/upload cost."""
+    import gc
+
+    import jax
+
+    from volpick_tpu.data.dataset import load_dataset
+    from volpick_tpu.models import EQTransformer
+    from volpick_tpu.pipeline.generator import TrainGenerator, _onset_arrays
+    from volpick_tpu.train.trainer import Trainer, make_augment_config
+
+    data_dir = "/tmp/volpick_hard_benchmark"
+    dataset = load_dataset(data_dir)
+    dataset.preload_waveforms()
+    train_ds = dataset.get_split("train")
+    p, s = _onset_arrays(train_ds.metadata)
+    eq = train_ds.filter(~np.isnan(p) | ~np.isnan(s), inplace=False)
+    noise = train_ds.filter(np.isnan(p) & np.isnan(s), inplace=False)
+
+    B = 256
+    model = EQTransformer()
+    cfg = make_augment_config(model, {}, stack=True)
+
+    for device_data in (False, True):
+        params = model.init(jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, ema=True, lr=1e-3)
+        trainer._build_steps()
+        gen = TrainGenerator(
+            train_ds, cfg, B, eq_dataset=eq, noise_dataset=noise, seed=5,
+            device_data=device_data,
+        )
+        assert gen.device_data == device_data
+        import jax.numpy as jnp
+
+        pstate = (trainer.params, trainer.opt_state, trainer.ema_params)
+        key = jax.random.PRNGKey(1)
+        n_warm, n_meas = 4, 16
+        times = []
+        cyc = _epoch_cycle(gen)  # lazy: per-step host assembly stays inside the timed loop
+        for i in range(n_warm + n_meas):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            batch = next(cyc)
+            batch = jax.device_put(batch, trainer.batch_sharding)
+            out = trainer._train_step(*pstate, batch, jnp.float32(1e-3), sub)
+            pstate, loss = out[:3], out[3]
+            float(jax.device_get(loss))  # force completion through the tunnel
+            if i >= n_warm:
+                times.append(time.perf_counter() - t0)
+        per_step = float(np.median(times))
+        log({"stage": "train_e2e", "model": model.name, "batch": B,
+             "device_data": device_data, "s_per_step": round(per_step, 4),
+             "samples_per_s_per_chip": round(B / per_step, 1),
+             "note": "per-step wall incl host assembly + upload + step + scalar fetch"})
+        del trainer, gen, pstate
+        gc.collect()
+
+
+def _epoch_cycle(gen):
+    while True:
+        for b in gen.epoch():
+            yield b
+
+
 def stage_profile():
     """Capture a jax.profiler trace of the fused classify program and commit
     an op-level summary (VERDICT round-2 item 1)."""
@@ -835,6 +905,45 @@ def stage_scan_breakdown():
     log(results)
 
 
+def stage_fused_forward():
+    """r4 fused-inference transforms: merged LSTM scans (8 sequential 47-step
+    scans → 4 via lstm_multi) + grouped decoder convs (det/P/S branches as
+    ONE feature_group_count=3 conv stack) vs the reference per-branch
+    program. ALL heads are consumed through a strided reduction (the r4 DCE
+    lesson: an unconsumed head lets XLA delete its whole decoder branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    B, C, W = 256, 3, 6000
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(B, C, W)).astype(np.float32)
+
+    for precision in ("float32", "bfloat16"):
+        if precision == "bfloat16":
+            p_use = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), params)
+        else:
+            p_use = params
+        for fused in (False, True):
+            def op(d):
+                if precision == "bfloat16":
+                    d = d.astype(jnp.bfloat16)
+                det, p, s = model.apply(p_use, d, fused=fused)
+                return (jnp.sum(det[..., ::997]) + jnp.sum(p[..., ::997])
+                        + jnp.sum(s[..., ::997])).astype(jnp.float32)
+
+            t = bench_loop(op, data, iters_a=4, iters_b=24)
+            log({"stage": "fused_forward", "model": "eqtransformer",
+                 "precision": precision, "fused": fused, "batch": B,
+                 "ms_per_iter": round(t * 1000, 2),
+                 "windows_per_s": round(B / t, 1)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rescnn", action="store_true")
@@ -848,6 +957,8 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--scan-breakdown", action="store_true")
+    ap.add_argument("--fused-forward", action="store_true")
+    ap.add_argument("--train-e2e", action="store_true")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -879,6 +990,10 @@ def main():
         stage_train()
     elif args.scan_breakdown:
         stage_scan_breakdown()
+    elif args.fused_forward:
+        stage_fused_forward()
+    elif args.train_e2e:
+        stage_train_e2e()
     else:
         stage_conditioning()
 

@@ -223,6 +223,66 @@ class TestGenerator:
             if hi > lo:
                 np.testing.assert_array_equal(out["x"][i, :, lo - off : hi - off], x[i, :, lo:hi])
 
+    def test_device_gather_crop_matches_host_crop(self, rng):
+        """device_gather_crop (HBM-resident pool) is bit-identical to
+        host_window_crop's numpy crop at the same offsets."""
+        from volpick_tpu.pipeline.generator import (
+            device_gather_crop,
+            host_window_crop,
+            select_window_offsets_host,
+        )
+
+        b, c, w_raw = 12, 3, 9000
+        x = rng.normal(size=(b, c, w_raw)).astype(np.float32)
+        lens = np.full(b, w_raw, np.int32)
+        lens[2] = 3500
+        p = rng.uniform(1000, 4000, b).astype(np.float32)
+        s = p + 300
+        p[4] = np.nan
+        s[4] = np.nan
+        cfg = AugmentConfig(window=3001)
+        host = host_window_crop(
+            np.random.default_rng(7), {"x": x, "len": lens, "p": p, "s": s}, cfg
+        )
+        off = select_window_offsets_host(np.random.default_rng(7), lens, p, s, cfg)
+        idx = np.arange(b, dtype=np.int32)
+        dev = device_gather_crop(
+            jnp.asarray(x), idx, off.astype(np.int32), lens.astype(np.int32), cfg.window
+        )
+        np.testing.assert_array_equal(np.asarray(dev), host["x"])
+
+    def test_device_data_mode_reproduces_host_mode(self, tmp_path, rng):
+        """The device-resident generator realizes the SAME training stream as
+        the host-crop path from one seed (identical RNG draw order), with
+        stacking on so all five per-step sources are exercised."""
+        make_synthetic_dataset(tmp_path, n_events=24, n_noise=8, n_samples=4000, seed=9)
+        ds = VCSEIS(tmp_path)
+        train = ds.get_split("train")
+        eq = ds.get_regular_earthquakes().filter(
+            ds.get_regular_earthquakes().metadata["split"] == "train", inplace=False
+        )
+        noise = ds.get_noise_traces().filter(
+            ds.get_noise_traces().metadata["split"] == "train", inplace=False
+        )
+        cfg = AugmentConfig(window=3001, stack=True)
+
+        def batches(device_data):
+            gen = TrainGenerator(
+                train, cfg, batch_size=8, eq_dataset=eq, noise_dataset=noise,
+                seed=17, drop_last=False, device_data=device_data,
+            )
+            assert gen.device_data == device_data
+            return [
+                {k: np.asarray(v) for k, v in b.items()} for b in gen.epoch()
+            ]
+
+        host_b, dev_b = batches(False), batches(True)
+        assert len(host_b) == len(dev_b) > 0
+        for hb, db in zip(host_b, dev_b):
+            assert set(hb) == set(db)
+            for k in hb:
+                np.testing.assert_array_equal(hb[k], db[k], err_msg=k)
+
     def test_host_window_matches_device_distribution(self, tmp_path, rng):
         """host_window=True feeds the same augmentation program: output
         geometry identical, and the P-label peak rate (fraction of windows

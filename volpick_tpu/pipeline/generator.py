@@ -11,8 +11,11 @@ everything else (windowing, labels, stacking, normalization) runs in
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, Iterator, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -51,23 +54,21 @@ def _onset_arrays(metadata, target_rate=None) -> Tuple[np.ndarray, np.ndarray]:
     return p, s
 
 
-def host_window_crop(rng: np.random.Generator, batch: Dict[str, np.ndarray], cfg: AugmentConfig) -> Dict[str, np.ndarray]:
-    """Numpy mirror of the device window block (`augmentations.select_window_offsets`
-    + `gather_window`): select each trace's training window on the HOST and crop
-    to (B, C, window) before shipping.
+def select_window_offsets_host(
+    rng: np.random.Generator,
+    lens: np.ndarray,
+    p: np.ndarray,
+    s: np.ndarray,
+    cfg: AugmentConfig,
+) -> np.ndarray:
+    """Per-trace training-window start offsets, drawn on the HOST.
 
-    Window selection depends only on (len, p, s, rng) — never on waveform
-    content — so doing it host-side is pure data movement: the bytes crossing
-    the host→device link shrink from the padded trace length to the model
-    window (4x for 120 s traces feeding a 30 s window; the stacking program
-    ships 5 batches per step, so this bounds the training input bandwidth).
-    The device program then runs with `cfg.pre_windowed=True`, making its
-    window block an identity gather at offset 0. Same sampling distribution
-    as the device block (WindowAroundSample gate -> RandomWindow | Null
-    random window, reference `volpick/model/models.py:221-265`); the realized
-    draws come from the generator's numpy RNG instead of the jax key.
-    """
-    x, lens, p, s = batch["x"], batch["len"], batch["p"], batch["s"]
+    The selection distribution is the device window block's
+    (WindowAroundSample gate -> RandomWindow | null window, reference
+    `volpick/model/models.py:221-265`) and depends only on (len, p, s, rng) —
+    never on waveform content — so it can run host-side from metadata alone.
+    Draw order is fixed ([pick_s?], null-onset, gate, u) so the host-crop and
+    device-crop generator modes consume the numpy RNG identically."""
     b = lens.shape[0]
     has_p, has_s = ~np.isnan(p), ~np.isnan(s)
     if cfg.selection == "first":
@@ -90,8 +91,28 @@ def host_window_crop(rng: np.random.Generator, batch: Dict[str, np.ndarray], cfg
     hi = lens.astype(np.int32) if cfg.high is None else np.minimum(lens.astype(np.int32), cfg.high)
     span_null = np.maximum(hi - lo - cfg.window, 0)
     off_null = lo + np.floor(u * (span_null + 1).astype(np.float32)).astype(np.int32)
-    off = np.where(gate, off_was, off_null).astype(np.int64)
+    return np.where(gate, off_was, off_null).astype(np.int64)
 
+
+def host_window_crop(rng: np.random.Generator, batch: Dict[str, np.ndarray], cfg: AugmentConfig) -> Dict[str, np.ndarray]:
+    """Numpy mirror of the device window block (`augmentations.select_window_offsets`
+    + `gather_window`): select each trace's training window on the HOST and crop
+    to (B, C, window) before shipping.
+
+    Window selection depends only on (len, p, s, rng) — never on waveform
+    content — so doing it host-side is pure data movement: the bytes crossing
+    the host→device link shrink from the padded trace length to the model
+    window (4x for 120 s traces feeding a 30 s window; the stacking program
+    ships 5 batches per step, so this bounds the training input bandwidth).
+    The device program then runs with `cfg.pre_windowed=True`, making its
+    window block an identity gather at offset 0. Same sampling distribution
+    as the device block (WindowAroundSample gate -> RandomWindow | Null
+    random window, reference `volpick/model/models.py:221-265`); the realized
+    draws come from the generator's numpy RNG instead of the jax key.
+    """
+    x, lens, p, s = batch["x"], batch["len"], batch["p"], batch["s"]
+    off = select_window_offsets_host(rng, lens, p, s, cfg)
+    b = lens.shape[0]
     w = cfg.window
     idx = off[:, None] + np.arange(w)[None, :]  # (B, w)
     valid = (idx >= 0) & (idx < lens[:, None]) & (idx < x.shape[-1])
@@ -105,6 +126,30 @@ def host_window_crop(rng: np.random.Generator, batch: Dict[str, np.ndarray], cfg
     res["p"] = (p - off).astype(np.float32)  # NaN propagates for absent picks
     res["s"] = (s - off).astype(np.float32)
     return res
+
+
+@partial(jax.jit, static_argnames=("window",))
+def device_gather_crop(pool, idx, off, lens, window: int):
+    """Crop (B, C, window) training windows out of a DEVICE-RESIDENT trace
+    pool: gather rows by `idx`, slice at per-row `off`, zero outside
+    [0, len) — the device-side half of `host_window_crop` (same clip+mask
+    semantics, bit-identical output).
+
+    With the pool uploaded once, the per-step host->device traffic shrinks
+    from (B, C, window) waveforms to a few (B,) index/offset vectors — over
+    the axon tunnel (~30 MB/s, and the client retains every uploaded buffer)
+    this is the difference between tunnel-bound ~46 MB/step training and
+    KB/step, and it bounds host RSS on long runs."""
+    rows = jnp.take(pool, idx, axis=0)  # (B, C, L)
+    pos = off[:, None] + jnp.arange(window, dtype=off.dtype)  # (B, w)
+    valid = (pos >= 0) & (pos < lens[:, None]) & (pos < pool.shape[-1])
+    posc = jnp.clip(pos, 0, pool.shape[-1] - 1)
+    out = jnp.take_along_axis(
+        rows,
+        jnp.broadcast_to(posc[:, None, :], (rows.shape[0], rows.shape[1], window)),
+        axis=-1,
+    )
+    return jnp.where(valid[:, None, :], out, 0.0)
 
 
 class RawBatchSource:
@@ -170,6 +215,7 @@ class RawBatchSource:
             self.buffer_len = buffer_len
             self.lens = None  # filled per batch
         self._n = n
+        self._pool = None  # device-resident copy of self.data (device_pool)
 
     @staticmethod
     def _max_len_from_metadata(dataset) -> int:
@@ -237,6 +283,37 @@ class RawBatchSource:
         idx = rng.integers(0, len(self), size=batch_size)
         return self.take(idx)
 
+    @property
+    def pool_bytes(self) -> int:
+        """Bytes a device-resident copy of the trace pool would occupy."""
+        return int(self.data.nbytes) if self.preloaded else 0
+
+    def device_pool(self):
+        """The full trace pool as ONE device array, uploaded lazily once.
+
+        Only available for preloaded sources; callers gate on `preloaded`
+        (and a byte budget) before choosing the device-crop generator mode."""
+        if not self.preloaded:
+            raise ValueError("device_pool requires a preloaded source")
+        if self._pool is None:
+            self._pool = jax.device_put(self.data)
+        return self._pool
+
+    def take_meta(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Host metadata for rows `idx` (no waveform copy): the inputs the
+        window-offset draw needs plus the label onsets, matching `take`'s
+        masking semantics."""
+        if not self.preloaded:
+            raise ValueError("take_meta requires a preloaded source")
+        lens = self.lens[idx]
+        return {
+            "idx": np.asarray(idx, dtype=np.int32),
+            "len": lens,
+            "p": self._mask_onsets_beyond(self.p[idx], lens),
+            "s": self._mask_onsets_beyond(self.s[idx], lens),
+            "is_lp": self.is_lp[idx],
+        }
+
 
 class TrainGenerator:
     """Epoch iterator: shuffled primary batches + random secondary/noise draws,
@@ -253,17 +330,16 @@ class TrainGenerator:
         drop_last: bool = True,
         prefetch: int = 2,
         host_window: bool = True,
+        device_data: Optional[bool] = None,
+        device_pool_budget: int = 4 << 30,
     ):
         import dataclasses
-
-        import jax
 
         self.cfg = cfg
         # host-side window pre-crop: ship (B, C, window) instead of padded
         # full traces (see host_window_crop); the device program's window
         # block degenerates to an identity gather
         self.host_window = host_window
-        self._dev_cfg = dataclasses.replace(cfg, pre_windowed=True) if host_window else cfg
         self.batch_size = batch_size
         self.primary = RawBatchSource(dataset)
         self.eq = RawBatchSource(eq_dataset) if (cfg.stack and eq_dataset is not None and len(eq_dataset)) else None
@@ -272,6 +348,20 @@ class TrainGenerator:
             if (cfg.stack and noise_dataset is not None and len(noise_dataset))
             else None
         )
+        # device-resident mode: trace pools live in HBM (uploaded once) and
+        # windows are cropped on device (device_gather_crop); only index/
+        # offset vectors cross the host->device link per step. Auto-on when
+        # every active source is preloaded and the pools fit the budget.
+        if device_data is None:
+            srcs = [s for s in (self.primary, self.eq, self.noise) if s is not None]
+            device_data = (
+                host_window
+                and all(s.preloaded for s in srcs)
+                and 0 < sum(s.pool_bytes for s in srcs) <= device_pool_budget
+            )
+        self.device_data = bool(device_data)
+        pre = host_window or self.device_data
+        self._dev_cfg = dataclasses.replace(cfg, pre_windowed=True) if pre else cfg
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.drop_last = drop_last
@@ -291,7 +381,55 @@ class TrainGenerator:
 
         sec_cfg = self.cfg.for_secondary()
 
+        def pad_idx(idx):
+            if len(idx) < self.batch_size:  # final partial batch (drop_last=False)
+                reps = math.ceil(self.batch_size / len(idx))
+                idx = np.concatenate([idx] * reps)[: self.batch_size]
+            return idx
+
+        def crop_on_device(src: RawBatchSource, meta: Dict, cfgx: AugmentConfig) -> Dict:
+            off = select_window_offsets_host(self.rng, meta["len"], meta["p"], meta["s"], cfgx)
+            x = device_gather_crop(
+                src.device_pool(),
+                meta["idx"],
+                off.astype(np.int32),
+                meta["len"].astype(np.int32),
+                cfgx.window,
+            )
+            return {
+                "x": x,
+                "len": np.full(len(off), cfgx.window, dtype=np.int32),
+                "p": (meta["p"] - off).astype(np.float32),
+                "s": (meta["s"] - off).astype(np.float32),
+                "is_lp": meta["is_lp"],
+            }
+
+        def make_device(i):
+            # identical numpy-RNG draw order to the host path (batch indices
+            # for all sources, then window offsets prim/sec/sec2/noi/noi2),
+            # so both modes realize the same training stream from one seed
+            idx = pad_idx(order[i * self.batch_size : (i + 1) * self.batch_size])
+            prim_meta = self.primary.take_meta(idx)
+            if stack_on:
+                noise_src = self.noise or self.eq
+                sec_meta = self.eq.take_meta(self.rng.integers(0, len(self.eq), size=self.batch_size))
+                sec2_meta = self.eq.take_meta(self.rng.integers(0, len(self.eq), size=self.batch_size))
+                noi_meta = noise_src.take_meta(self.rng.integers(0, len(noise_src), size=self.batch_size))
+                noi2_meta = noise_src.take_meta(self.rng.integers(0, len(noise_src), size=self.batch_size))
+            prim = crop_on_device(self.primary, prim_meta, self.cfg)
+            if stack_on:
+                sec = crop_on_device(self.eq, sec_meta, sec_cfg)
+                sec2 = crop_on_device(self.eq, sec2_meta, sec_cfg)
+                noi = crop_on_device(noise_src, noi_meta, self.cfg)
+                noi2 = crop_on_device(noise_src, noi2_meta, self.cfg)
+            else:
+                sec = sec2 = noi = noi2 = None
+            self.key, sub = jax.random.split(self.key)
+            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self._dev_cfg)
+
         def make(i):
+            if self.device_data:
+                return make_device(i)
             idx = order[i * self.batch_size : (i + 1) * self.batch_size]
             prim = self.primary.take(idx)
             if len(idx) < self.batch_size:  # final partial batch (drop_last=False)

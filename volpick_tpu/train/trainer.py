@@ -521,10 +521,17 @@ def prepare_data(config: Dict, model, test_run: bool = False, cfg: Optional[Augm
 
     eq_tr, no_tr = subsets(train_ds)
     eq_dev, no_dev = subsets(dev_ds)
-    train_gen = TrainGenerator(train_ds, cfg, batch_size, eq_dataset=eq_tr, noise_dataset=no_tr, seed=42)
+    # device-resident trace pools (None = auto: on when the pools fit HBM);
+    # per-step host->device traffic becomes index vectors instead of waveforms
+    device_data = config.get("device_data")
+    train_gen = TrainGenerator(
+        train_ds, cfg, batch_size, eq_dataset=eq_tr, noise_dataset=no_tr, seed=42,
+        device_data=device_data,
+    )
     dev_gen = (
         TrainGenerator(
-            dev_ds, cfg, batch_size, eq_dataset=eq_dev, noise_dataset=no_dev, seed=43, drop_last=False
+            dev_ds, cfg, batch_size, eq_dataset=eq_dev, noise_dataset=no_dev, seed=43,
+            drop_last=False, device_data=device_data,
         )
         if len(dev_ds)
         else None
