@@ -923,13 +923,15 @@ def stage_fused_forward():
     rng = np.random.default_rng(0)
     data = rng.normal(size=(B, C, W)).astype(np.float32)
 
+    variants = (False, "lstm", "grouped", "blockdiag",
+                "lstm+grouped", "lstm+blockdiag")
     for precision in ("float32", "bfloat16"):
         if precision == "bfloat16":
             p_use = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), params)
         else:
             p_use = params
-        for fused in (False, True):
+        for fused in variants:
             def op(d):
                 if precision == "bfloat16":
                     d = d.astype(jnp.bfloat16)
@@ -939,7 +941,7 @@ def stage_fused_forward():
 
             t = bench_loop(op, data, iters_a=4, iters_b=24)
             log({"stage": "fused_forward", "model": "eqtransformer",
-                 "precision": precision, "fused": fused, "batch": B,
+                 "precision": precision, "fused": str(fused), "batch": B,
                  "ms_per_iter": round(t * 1000, 2),
                  "windows_per_s": round(B / t, 1)})
 

@@ -136,10 +136,12 @@ class TestEQTransformer:
             params = model.init(jax.random.PRNGKey(3))
             x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 6000))
             ref = model.apply(params, x, fused=False)
-            got = model.apply(params, x, fused=True)
-            assert len(ref) == len(got)
-            for r, g in zip(ref, got):
-                assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-5
+            for variant in (True, "lstm", "grouped", "blockdiag",
+                            "lstm+grouped", "lstm+blockdiag"):
+                got = model.apply(params, x, fused=variant)
+                assert len(ref) == len(got)
+                for r, g in zip(ref, got):
+                    assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-5, variant
 
     def test_fused_rejected_in_train_mode(self):
         from volpick_tpu.models import EQTransformer

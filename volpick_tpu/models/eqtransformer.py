@@ -71,6 +71,20 @@ def _decoder_crops(out_samples: int, n_layers: int) -> List[int]:
     return crops
 
 
+def _block_diag_kernel(ws) -> jnp.ndarray:
+    """Stack per-branch conv kernels (O, I, K) into ONE dense block-diagonal
+    kernel (G·O, G·I, K): branch g's filters see only channels [g·I, (g+1)·I).
+    Equivalent to feature_group_count=G but lowered as a plain dense conv —
+    at G·I ≤ 64 input channels the dense conv occupies the same single padded
+    128-lane MXU tile, so the structural zeros are free."""
+    o, i, k = ws[0].shape
+    g = len(ws)
+    w = jnp.zeros((g * o, g * i, k), ws[0].dtype)
+    for j, wj in enumerate(ws):
+        w = w.at[j * o:(j + 1) * o, j * i:(j + 1) * i].set(wj)
+    return w
+
+
 @dataclasses.dataclass
 class EQTransformer:
     in_channels: int = 3
@@ -219,15 +233,36 @@ class EQTransformer:
         scan/conv-merged program: each BiLSTM's two directions and the P/S
         pick LSTMs ride single lstm_multi scans (8 sequential 47-step scans →
         4), and the det/P/S upsampling decoders + output convs run as ONE
-        grouped conv stack (feature_group_count = #branches) — mathematically
-        the same branches, 1/3 the conv launches and 3× the work per conv for
-        the MXU. Train mode keeps the per-branch program (per-branch dropout
-        masks).
+        merged conv stack — mathematically the same branches, 1/3 the conv
+        launches. Train mode keeps the per-branch program (per-branch
+        dropout masks). See the flag parsing below for the measurable
+        sub-variants ("lstm", "grouped", "blockdiag").
         """
         if fused is None:
             fused = not train
         if fused and train:
             raise ValueError("fused EQTransformer path is inference-only")
+        # fused accepts False | True | a "+"-joined subset of {"lstm",
+        # "grouped", "blockdiag"} so the two transforms can be measured
+        # independently: "lstm" merges the LSTM scans; "grouped"/"blockdiag"
+        # merge the decoders (feature_group_count conv vs one dense conv with
+        # block-diagonal weights — on TPU both land in one padded MXU tile,
+        # but they lower differently). True = "lstm+blockdiag".
+        if fused is True:
+            fuse_lstm, decode_mode = True, "blockdiag"
+        elif not fused:
+            fuse_lstm, decode_mode = False, "branch"
+        else:
+            parts = set(str(fused).split("+"))
+            unknown = parts - {"lstm", "grouped", "blockdiag"}
+            if unknown:
+                raise ValueError(f"unknown fused flags: {sorted(unknown)}")
+            fuse_lstm = "lstm" in parts
+            decode_mode = (
+                "grouped" if "grouped" in parts
+                else "blockdiag" if "blockdiag" in parts
+                else "branch"
+            )
         updates: Dict = {}
         rngs = iter(jax.random.split(rng, 64)) if rng is not None else iter([])
 
@@ -265,7 +300,7 @@ class EQTransformer:
 
         # --- BiLSTM stack
         for j, block in enumerate(params["bilstm"]):
-            y = bilstm(h, block["lstm"], fused=fused)
+            y = bilstm(h, block["lstm"], fused=fuse_lstm)
             y = dropout(y, self.drop_rate, next_rng(), train)
             y = conv1d(y, block["conv"]["w"], block["conv"]["b"])
             h = bn(y, block["norm"], f"bilstm.{j}.norm")
@@ -296,70 +331,72 @@ class EQTransformer:
                 h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
             return h
 
-        if fused:
-            # Both pick LSTMs in ONE scan, then one grouped decode for every
-            # branch (detection heads + phases).
-            n_phase = len(params["pick_lstms"])
-            branch_ins = [h for _ in self.detection_branches]
-            if n_phase:
-                xs = jnp.broadcast_to(h[None], (n_phase,) + h.shape)
-                w_ih = jnp.stack([lp["w_ih"] for lp in params["pick_lstms"]])
-                w_hh = jnp.stack([lp["w_hh"] for lp in params["pick_lstms"]])
-                bias = jnp.stack([lp["b_ih"] + lp["b_hh"] for lp in params["pick_lstms"]])
-                px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
-                attn_p = jax.tree.map(lambda *a: jnp.stack(a), *params["pick_attentions"])
-                px = jax.vmap(
-                    lambda xb, pb: seq_self_attention(xb, pb, attention_width=3, eps=_ATTN_EPS)[0]
-                )(px, attn_p)
-                branch_ins.extend(px[i] for i in range(n_phase))
+        # --- per-branch inputs at bottleneck resolution: detection branches
+        # take the trunk output; pick branches run LSTM + local attention
+        # first (merged into one lstm_multi scan when fuse_lstm)
+        n_phase = len(params["pick_lstms"])
+        branch_ins = [h for _ in self.detection_branches]
+        if fuse_lstm and n_phase:
+            xs = jnp.broadcast_to(h[None], (n_phase,) + h.shape)
+            w_ih = jnp.stack([lp["w_ih"] for lp in params["pick_lstms"]])
+            w_hh = jnp.stack([lp["w_hh"] for lp in params["pick_lstms"]])
+            bias = jnp.stack([lp["b_ih"] + lp["b_hh"] for lp in params["pick_lstms"]])
+            px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
+            attn_p = jax.tree.map(lambda *a: jnp.stack(a), *params["pick_attentions"])
+            px = jax.vmap(
+                lambda xb, pb: seq_self_attention(xb, pb, attention_width=3, eps=_ATTN_EPS)[0]
+            )(px, attn_p)
+            branch_ins.extend(px[i] for i in range(n_phase))
+        else:
+            for lp, ap in zip(params["pick_lstms"], params["pick_attentions"]):
+                px = lstm(h, lp["w_ih"], lp["w_hh"], lp["b_ih"], lp["b_hh"])
+                px = dropout(px, self.drop_rate, next_rng(), train)
+                px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
+                branch_ins.append(px)
 
-            dec_lists = [params[dk] for dk, _ in self.detection_branches]
-            dec_lists += list(params["pick_decoders"])
-            out_convs = [params[ck] for _, ck in self.detection_branches]
-            out_convs += list(params["pick_convs"])
+        dec_lists = [params[dk] for dk, _ in self.detection_branches]
+        dec_lists += list(params["pick_decoders"])
+        out_convs = [params[ck] for _, ck in self.detection_branches]
+        out_convs += list(params["pick_convs"])
+
+        if decode_mode == "branch":
+            outputs = []
+            for z, dp, cp in zip(branch_ins, dec_lists, out_convs):
+                z = decode(z, dp)
+                pred = conv1d_same(z, cp["w"], cp["b"])[:, 0]
+                if not logits:
+                    pred = jax.nn.sigmoid(pred)
+                outputs.append(pred)
+            out = tuple(outputs)
+        else:
+            # ONE decode for every branch: grouped (feature_group_count) or
+            # one dense conv with block-diagonal weights. At these channel
+            # counts (G×16 ≤ 64) both land in a single padded MXU tile, so
+            # the block-diagonal "extra" FLOPs cost nothing — what differs is
+            # how XLA lowers them.
             groups = len(dec_lists)
-
             z = jnp.concatenate(branch_ins, axis=1)  # (B, groups*16, T)
+
+            def merged(ws, bs):
+                b_g = jnp.concatenate(bs, axis=0)
+                if decode_mode == "grouped":
+                    return jnp.concatenate(ws, axis=0), b_g, groups
+                return _block_diag_kernel(ws), b_g, 1
+
             for i in range(len(dec_lists[0])):
                 z = upsample_nearest(z, 2)
                 if i in crops:
                     z = z[..., :-1]
-                w_g = jnp.concatenate([d[i]["w"] for d in dec_lists], axis=0)
-                b_g = jnp.concatenate([d[i]["b"] for d in dec_lists], axis=0)
-                z = act(conv1d_same(z, w_g, b_g, groups=groups))
-            w_o = jnp.concatenate([c["w"] for c in out_convs], axis=0)
-            b_o = jnp.concatenate([c["b"] for c in out_convs], axis=0)
-            preds = conv1d_same(z, w_o, b_o, groups=groups)  # (B, groups, W)
+                w_g, b_g, g = merged([d[i]["w"] for d in dec_lists],
+                                     [d[i]["b"] for d in dec_lists])
+                z = act(conv1d_same(z, w_g, b_g, groups=g))
+            w_o, b_o, g = merged([c["w"] for c in out_convs],
+                                 [c["b"] for c in out_convs])
+            preds = conv1d_same(z, w_o, b_o, groups=g)  # (B, groups, W)
             if not logits:
                 preds = jax.nn.sigmoid(preds)
             out = tuple(preds[:, i] for i in range(groups))
-            if train:
-                return out, updates
-            return out
 
-        outputs = []
-        for dec_key, conv_key in self.detection_branches:
-            det = decode(h, params[dec_key])
-            det = conv1d_same(det, params[conv_key]["w"], params[conv_key]["b"])[:, 0]
-            if not logits:
-                det = jax.nn.sigmoid(det)
-            outputs.append(det)
-        for lp, ap, dp, cp in zip(
-            params["pick_lstms"],
-            params["pick_attentions"],
-            params["pick_decoders"],
-            params["pick_convs"],
-        ):
-            px = lstm(h, lp["w_ih"], lp["w_hh"], lp["b_ih"], lp["b_hh"])
-            px = dropout(px, self.drop_rate, next_rng(), train)
-            px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
-            px = decode(px, dp)
-            pred = conv1d_same(px, cp["w"], cp["b"])[:, 0]
-            if not logits:
-                pred = jax.nn.sigmoid(pred)
-            outputs.append(pred)
-
-        out = tuple(outputs)
         if train:
             return out, updates
         return out
