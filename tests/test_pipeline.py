@@ -283,6 +283,17 @@ class TestGenerator:
             for k in hb:
                 np.testing.assert_array_equal(hb[k], db[k], err_msg=k)
 
+    def test_device_data_auto_resolution(self, tmp_path, rng):
+        """Auto mode turns device pools on for small preloaded sources and
+        off when the pools exceed the budget."""
+        make_synthetic_dataset(tmp_path, n_events=12, n_noise=4, n_samples=4000, seed=2)
+        ds = VCSEIS(tmp_path)
+        train = ds.get_split("train")
+        cfg = AugmentConfig(window=3001, stack=False)
+        assert TrainGenerator(train, cfg, batch_size=4).device_data is True
+        assert TrainGenerator(train, cfg, batch_size=4,
+                              device_pool_budget=1).device_data is False
+
     def test_host_window_matches_device_distribution(self, tmp_path, rng):
         """host_window=True feeds the same augmentation program: output
         geometry identical, and the P-label peak rate (fraction of windows
