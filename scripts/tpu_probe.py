@@ -655,6 +655,68 @@ def _train_one_model(model_cls):
          "samples_per_s_per_chip": round(B / per_step, 1)})
 
 
+def stage_classify_chunks():
+    """Chunk-size sweep for EQT fused classify: the one-scan program runs
+    ceil(n_win/wpc) sequential steps, each a (chunk)-window forward whose
+    4 merged 47-step LSTM scans are latency- not FLOP-bound — so doubling
+    the chunk should amortize the sequential scan latency near-linearly
+    until VMEM/HBM pressure pushes back. Finds the speed-of-light chunk for
+    the bench workload (8 stations x 20 min, stride 500)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.ops.windows import window_starts
+    from volpick_tpu.picker import WaveformPicker
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    window = model.in_samples
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(8, 3, 120000)).astype(np.float32)
+    total = data.shape[-1]
+    starts = window_starts(total, window, window - 500)
+    picker = WaveformPicker(model, params)
+    thr = tuple(0.3 for _ in picker._prob_channels())
+    d, st = jnp.asarray(data), jnp.asarray(starts)
+
+    for chunk in (256, 512, 1024, 2048):
+        run = picker._fused_classify_fn(
+            8, len(starts), total, (0, 0), "avg", thr, 64, chunk,
+            stride=500,
+            flush_start=int(starts[-1]) if int(starts[-1]) != (len(starts) - 1) * 500 else None,
+        )
+
+        def make_loop(iters):
+            @jax.jit
+            def loop(d):
+                def body(i, carry):
+                    res = run(picker.params, d + carry * 1e-30, st)
+                    return sum(jnp.sum(v[1]) for v in res.values()) * 1e-6 + carry * 0.5
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+            return loop
+
+        la, lb = make_loop(4), make_loop(24)
+        float(jax.device_get(la(d)))
+        float(jax.device_get(lb(d)))
+
+        def t(loop):
+            t0 = time.perf_counter()
+            _ = float(jax.device_get(loop(d)))
+            return time.perf_counter() - t0
+
+        ta = min(t(la) for _ in range(2))
+        tb = min(t(lb) for _ in range(2))
+        per_iter = max(tb - ta, 1e-9) / 20
+        log({"stage": "classify_chunks", "model": "eqtransformer",
+             "chunk": chunk, "n_windows_per_iter": 8 * len(starts),
+             "ms_per_iter": round(per_iter * 1000, 2),
+             "windows_per_s": round(8 * len(starts) / per_iter, 1)})
+
+
 def stage_train_e2e():
     """END-TO-END training wall time over the axon tunnel: device-resident
     trace pools (TrainGenerator device_data=True — pools uploaded once,
@@ -961,6 +1023,7 @@ def main():
     ap.add_argument("--scan-breakdown", action="store_true")
     ap.add_argument("--fused-forward", action="store_true")
     ap.add_argument("--train-e2e", action="store_true")
+    ap.add_argument("--classify-chunks", action="store_true")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -996,6 +1059,8 @@ def main():
         stage_fused_forward()
     elif args.train_e2e:
         stage_train_e2e()
+    elif args.classify_chunks:
+        stage_classify_chunks()
     else:
         stage_conditioning()
 
