@@ -22,6 +22,7 @@ volpick weights.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -239,7 +240,23 @@ class EQTransformer:
         sub-variants ("lstm", "grouped", "blockdiag").
         """
         if fused is None:
-            fused = not train
+            # Eval-mode default: per-branch (fused off). The merged program
+            # measured SLOWER end-to-end on the v5e (fused classify 86.0k
+            # windows/s in docs/TRAINING.md's speed leg vs 110k for the
+            # per-branch program on the same stride-500 workload) — the
+            # launch-count saving does not pay for the blockdiag decoder's
+            # padded-out FLOPs at these channel widths. Override per call or
+            # via VOLPICK_EQT_FUSED=(0|1|lstm|grouped|blockdiag|lstm+…) once
+            # the fused_forward probe says otherwise on a given chip.
+            env = os.environ.get("VOLPICK_EQT_FUSED")
+            if env is None or not env.strip():
+                fused = False
+            elif env in ("0", "false", "False"):
+                fused = False
+            elif env in ("1", "true", "True"):
+                fused = not train
+            else:
+                fused = env if not train else False
         if fused and train:
             raise ValueError("fused EQTransformer path is inference-only")
         # fused accepts False | True | a "+"-joined subset of {"lstm",

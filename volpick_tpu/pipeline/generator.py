@@ -10,6 +10,7 @@ everything else (windowing, labels, stacking, normalization) runs in
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 from typing import Dict, Iterator, Optional, Sequence, Tuple
@@ -333,8 +334,6 @@ class TrainGenerator:
         device_data: Optional[bool] = None,
         device_pool_budget: int = 4 << 30,
     ):
-        import dataclasses
-
         self.cfg = cfg
         # host-side window pre-crop: ship (B, C, window) instead of padded
         # full traces (see host_window_crop); the device program's window
@@ -360,8 +359,6 @@ class TrainGenerator:
                 and 0 < sum(s.pool_bytes for s in srcs) <= device_pool_budget
             )
         self.device_data = bool(device_data)
-        pre = host_window or self.device_data
-        self._dev_cfg = dataclasses.replace(cfg, pre_windowed=True) if pre else cfg
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.drop_last = drop_last
@@ -378,6 +375,17 @@ class TrainGenerator:
         order = self.rng.permutation(n)
         steps = len(self)
         stack_on = self.cfg.stack and self.eq is not None
+        # device-resident crops need every active source preloaded; sources
+        # may be swapped after construction (e.g. forced-lazy HDF5 reads), so
+        # re-derive the effective mode each epoch instead of trusting the
+        # __init__-time auto decision
+        srcs = [s for s in (self.primary, self.eq, self.noise) if s is not None]
+        device_on = self.device_data and all(s.preloaded for s in srcs)
+        dev_cfg = (
+            dataclasses.replace(self.cfg, pre_windowed=True)
+            if (self.host_window or device_on)
+            else self.cfg
+        )
 
         sec_cfg = self.cfg.for_secondary()
 
@@ -425,10 +433,10 @@ class TrainGenerator:
             else:
                 sec = sec2 = noi = noi2 = None
             self.key, sub = jax.random.split(self.key)
-            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self._dev_cfg)
+            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, dev_cfg)
 
         def make(i):
-            if self.device_data:
+            if device_on:
                 return make_device(i)
             idx = order[i * self.batch_size : (i + 1) * self.batch_size]
             prim = self.primary.take(idx)
@@ -452,7 +460,7 @@ class TrainGenerator:
                     noi = host_window_crop(self.rng, noi, self.cfg)
                     noi2 = host_window_crop(self.rng, noi2, self.cfg)
             self.key, sub = jax.random.split(self.key)
-            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, self._dev_cfg)
+            return augment_train_batch(sub, prim, sec, sec2, noi, noi2, dev_cfg)
 
         # software pipeline: a producer thread assembles host batches (HDF5
         # reads in lazy mode) and dispatches the on-device augmentation; jax
