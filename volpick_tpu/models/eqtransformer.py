@@ -240,14 +240,17 @@ class EQTransformer:
         sub-variants ("lstm", "grouped", "blockdiag").
         """
         if fused is None:
-            # Eval-mode default: per-branch (fused off). The merged program
-            # measured SLOWER end-to-end on the v5e (fused classify 86.0k
-            # windows/s in docs/TRAINING.md's speed leg vs 110k for the
-            # per-branch program on the same stride-500 workload) — the
-            # launch-count saving does not pay for the blockdiag decoder's
-            # padded-out FLOPs at these channel widths. Override per call or
-            # via VOLPICK_EQT_FUSED=(0|1|lstm|grouped|blockdiag|lstm+…) once
-            # the fused_forward probe says otherwise on a given chip.
+            # Eval-mode default: per-branch (fused off), on two measurements
+            # (docs/TPU_PROBE.jsonl): end-to-end fused classify 86.0k
+            # windows/s merged vs 110k per-branch (docs/TRAINING.md speed
+            # leg, same stride-500 workload), and the quiet-chip
+            # "fused_forward" sweep — per-branch forward 149.2k windows/s
+            # at batch 256 vs lstm 146.6k / grouped 107.9k / blockdiag
+            # 100.5k fp32 (bf16 ranks the same) — the launch-count saving
+            # does not pay for the blockdiag decoder's padded-out FLOPs at
+            # these channel widths. Override per call or via
+            # VOLPICK_EQT_FUSED=(0|1|lstm|grouped|blockdiag|lstm+…) if a
+            # future chip/workload ranks differently.
             env = os.environ.get("VOLPICK_EQT_FUSED")
             if env is None or not env.strip():
                 fused = False
