@@ -186,3 +186,54 @@ class TestAssembly:
         ds = WaveformDataset(dest)
         assert len(ds) == 9
         assert set(ds.metadata["trace_chunk"]) == {"_r1", "_r2"}
+
+    def test_repack(self, synth_ds, tmp_path):
+        """repack_dataset preserves content and multiplies the block count so
+        training_fraction subsampling resolves small fractions (the
+        docs/DIFFSIZE.md granularity fix)."""
+        from volpick_tpu.data import repack_dataset
+        from volpick_tpu.train.trainer import apply_training_fraction
+
+        src = WaveformDataset(synth_ds)
+        dest = tmp_path / "fine"
+        n_buckets = repack_dataset(synth_ds, dest, bucket_size=4)
+        out = WaveformDataset(dest)
+        assert len(out) == len(src)
+        assert n_buckets == -(-len(src) // 4)
+        # waveforms byte-identical per trace, all non-ref metadata preserved
+        for i in (0, 7, len(src) - 1):
+            np.testing.assert_array_equal(out.get_waveforms(i), src.get_waveforms(i))
+        for col in src.metadata.columns:
+            if col == "trace_name":
+                continue
+            a, b = src.metadata[col], out.metadata[col]
+            assert (a.fillna("~") == b.fillna("~")).all() if a.isna().any() else (a == b).all()
+        # distinct subsets at fractions that would collapse on coarse packing
+        sizes = []
+        for frac in (0.15, 0.45, 0.9):
+            sub = WaveformDataset(dest)
+            apply_training_fraction(frac, sub)
+            sizes.append(len(sub))
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_abandoned_epoch_exits_cleanly(self, synth_ds):
+        """Breaking out of a prefetching epoch and exiting the process must
+        not abort: the producer thread is stopped and drained, never left
+        blocked inside a jax dispatch at interpreter teardown."""
+        import subprocess
+        import sys
+
+        code = f"""
+import os; os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+from volpick_tpu.data import WaveformDataset
+from volpick_tpu.pipeline.generator import TrainGenerator, AugmentConfig
+gen = TrainGenerator(WaveformDataset({str(synth_ds)!r}).get_split("train"),
+                     AugmentConfig(window=2001, stack=False), batch_size=4)
+next(iter(gen.epoch()))
+print("ok")
+"""
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=240)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "ok" in r.stdout

@@ -1,6 +1,6 @@
 from volpick_tpu.data.dataset import WaveformDataset, VCSEIS, load_dataset
 from volpick_tpu.data.writer import WaveformDataWriter
-from volpick_tpu.data.assemble import assemble_datasets, generate_chunk_file
+from volpick_tpu.data.assemble import assemble_datasets, generate_chunk_file, repack_dataset
 
 __all__ = [
     "WaveformDataset",
@@ -9,4 +9,5 @@ __all__ = [
     "WaveformDataWriter",
     "assemble_datasets",
     "generate_chunk_file",
+    "repack_dataset",
 ]

@@ -56,3 +56,41 @@ def assemble_datasets(
                 else:
                     shutil.copy2(s, d)
     return generate_chunk_file(dest_dir)
+
+
+def repack_dataset(
+    src_dir: Union[str, Path],
+    dest_dir: Union[str, Path],
+    bucket_size: int,
+) -> int:
+    """Rewrite a dataset with a different HDF5 bucket size; returns the new
+    unique-bucket count.
+
+    Waveform content and every metadata column except `trace_name` (which
+    encodes the bucket reference and is reassigned by the writer) are
+    preserved; waveforms are stored CW/float32 in the dataset's component
+    order. Block-granular consumers — `training_fraction` subsampling keeps
+    whole buckets, exactly like the reference (`volpick/model/train.py:
+    335-359`) — get `len(dataset)/bucket_size` selectable blocks instead of
+    however coarsely the source happened to be packed, so small requested
+    fractions resolve to distinct subsets (see docs/DIFFSIZE.md granularity
+    note)."""
+    from .dataset import WaveformDataset
+    from .writer import WaveformDataWriter
+
+    src = WaveformDataset(src_dir)
+    dest_dir = Path(dest_dir)
+    # get_waveforms returns CW arrays already reordered into the dataset
+    # object's component_order; declare exactly that layout in the new file
+    fmt = dict(src.data_format)
+    fmt["dimension_order"] = "CW"
+    fmt["component_order"] = src.component_order
+    with WaveformDataWriter(
+        dest_dir / "metadata.csv", dest_dir / "waveforms.hdf5", bucket_size=bucket_size
+    ) as w:
+        w.data_format = fmt
+        for i in range(len(src)):
+            row = src.metadata.iloc[i].to_dict()
+            w.add_trace(row, src.get_waveforms(i))
+    out = WaveformDataset(dest_dir)
+    return out.metadata["trace_name"].astype(str).str.split("$").str[0].nunique()

@@ -470,10 +470,13 @@ class TrainGenerator:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         err = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for i in range(steps):
+                    if stop.is_set():
+                        break
                     q.put(make(i))
             except Exception as e:  # surface worker failures to the consumer
                 err.append(e)
@@ -482,12 +485,24 @@ class TrainGenerator:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            # consumer may abandon the epoch early (break / GeneratorExit):
+            # tell the producer to stop and drain its queue so it is never
+            # left blocked inside a jax dispatch at interpreter teardown
+            # (daemon threads killed mid-dispatch abort the process)
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
         if err:
             raise err[0]
 
