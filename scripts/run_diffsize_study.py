@@ -53,7 +53,9 @@ def main():
     volpick_tpu.enable_compilation_cache()
     import jax
 
-    if args.cpu:
+    if args.cpu or args.report_only:
+        # report-only must never open a second tunnel client (the TPU may be
+        # mid-training); it only reads CSVs and metadata
         jax.config.update("jax_platforms", "cpu")
 
     from volpick_tpu.data.dataset import load_dataset
@@ -92,24 +94,30 @@ def main():
         return
 
     dataset = load_dataset(data_dir)
-    dataset.preload_waveforms()
+    if not args.report_only:
+        dataset.preload_waveforms()
 
     # effective fraction actually trained on: block subsampling keeps whole
     # HDF5 buckets (reference-exact, train.py:335-359), so on a coarse-packed
-    # dataset several requested fractions can floor to the same bucket set
-    md = dataset.metadata
-    tr = md[md["split"] == "train"]
-    blocks = tr["trace_name"].astype(str).str.split("$").str[0]
-    uniq = blocks.unique()
-    import numpy as np
+    # dataset several requested fractions can floor to the same bucket set.
+    # Computed with the REAL apply_training_fraction on a throwaway split so
+    # the reported columns cannot drift from what training did.
+    from volpick_tpu.data.dataset import WaveformDataset
+    from volpick_tpu.train.trainer import apply_training_fraction
 
-    np.random.seed(42)
-    np.random.shuffle(uniq)
+    tr_full = WaveformDataset(data_dir)
+    tr_full.filter((tr_full.metadata["split"] == "train").to_numpy())
+    n_total = len(tr_full)
+    n_blocks_total = (
+        tr_full.metadata["trace_name"].astype(str).str.split("$").str[0].nunique()
+    )
 
     def effective(frac):
-        kept = set(uniq[: max(int(frac * len(uniq)), 1)])
-        n = int(blocks.isin(kept).sum())
-        return len(kept), n, round(n / len(tr), 4)
+        sub = WaveformDataset(data_dir)
+        sub.filter((sub.metadata["split"] == "train").to_numpy())
+        apply_training_fraction(frac, sub)
+        kept = sub.metadata["trace_name"].astype(str).str.split("$").str[0].nunique()
+        return kept, len(sub), round(len(sub) / n_total, 4)
 
     rows, timings = [], {}
     for frac in FRACTIONS:
@@ -118,7 +126,11 @@ def main():
         if not (exp_dir / "checkpoints").exists():
             print(f"{exp}: no checkpoints, skipping", flush=True)
             continue
-        if not (args.report_only and (exp_dir / "eval").exists()):
+        if args.report_only:
+            if not (exp_dir / "eval").exists():
+                print(f"{exp}: no eval artifacts, skipping (report-only)", flush=True)
+                continue
+        else:
             model, params = load_best_model(exp_dir, "phasenet", prefer_ema=False)
             t0 = time.perf_counter()
             eval_task0(model, params, dataset, targets_dir, exp_dir / "eval")
@@ -154,7 +166,7 @@ def main():
         "",
         "NOTE on granularity: block subsampling keeps whole HDF5 buckets "
         f"(reference-exact), and this benchmark's train split packs into only "
-        f"{len(uniq)} buckets — requested fractions below 1/{len(uniq)} floor "
+        f"{n_blocks_total} buckets — requested fractions below 1/{n_blocks_total} floor "
         "to the same single bucket (`eff_fraction` is what each leg actually "
         "trained on). On the reference's real datasets (thousands of buckets) "
         "the requested and effective fractions coincide.",

@@ -216,6 +216,45 @@ class TestAssembly:
             sizes.append(len(sub))
         assert sizes[0] < sizes[1] < sizes[2]
 
+    def test_repack_foreign_source(self, tmp_path):
+        """repack copies RAW content: a WC-order, 50-Hz, float64 source with
+        no split column repacks without double-resampling, component
+        shuffling, or persisting reader-injected columns."""
+        import h5py
+
+        from volpick_tpu.data import repack_dataset
+
+        src_dir = tmp_path / "foreign"
+        src_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        with h5py.File(src_dir / "waveforms.hdf5", "w") as f:
+            g = f.require_group("data")
+            for i in range(10):
+                g.create_dataset(f"tr{i}", data=rng.normal(size=(1500 + 10 * i, 3)))
+                rows.append({"trace_name": f"tr{i}", "trace_sampling_rate_hz": 50.0,
+                             "trace_p_arrival_sample": 300.0 + i, "source_type": "vt"})
+            df = f.require_group("data_format")
+            df.create_dataset("dimension_order", data="WC")
+            df.create_dataset("component_order", data="ZNE")
+            df.create_dataset("sampling_rate", data="50")
+        pd.DataFrame(rows).to_csv(src_dir / "metadata.csv", index=False)
+
+        n = repack_dataset(src_dir, tmp_path / "fine", bucket_size=3)
+        assert n == 4
+        out_md = pd.read_csv(tmp_path / "fine" / "metadata.csv")
+        # reader-injected columns must not be baked into the new file (a
+        # persisted split='train' would disable prepare_data's aux split)
+        assert "split" not in out_md.columns
+        assert "trace_chunk" not in out_md.columns
+        assert (out_md["trace_sampling_rate_hz"] == 50.0).all()
+        src, out = WaveformDataset(src_dir), WaveformDataset(tmp_path / "fine")
+        for i in (0, 4, 9):  # converted reads agree: resampled exactly once
+            np.testing.assert_allclose(
+                src.get_waveforms(i), out.get_waveforms(i), atol=1e-6)
+        _, md = out.get_sample(2)
+        assert md["trace_p_arrival_sample"] == (300.0 + 2) * 2.0
+
     def test_abandoned_epoch_exits_cleanly(self, synth_ds):
         """Breaking out of a prefetching epoch and exiting the process must
         not abort: the producer thread is stopped and drained, never left

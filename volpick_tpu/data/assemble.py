@@ -66,31 +66,44 @@ def repack_dataset(
     """Rewrite a dataset with a different HDF5 bucket size; returns the new
     unique-bucket count.
 
-    Waveform content and every metadata column except `trace_name` (which
-    encodes the bucket reference and is reassigned by the writer) are
-    preserved; waveforms are stored CW/float32 in the dataset's component
-    order. Block-granular consumers — `training_fraction` subsampling keeps
+    Waveform content (raw samples — no resampling or component reordering;
+    float32, the HDF5 storage dtype) and every on-disk metadata column
+    except `trace_name` (which encodes the bucket reference and is
+    reassigned by the writer) are preserved. Block-granular consumers — `training_fraction` subsampling keeps
     whole buckets, exactly like the reference (`volpick/model/train.py:
     335-359`) — get `len(dataset)/bucket_size` selectable blocks instead of
     however coarsely the source happened to be packed, so small requested
     fractions resolve to distinct subsets (see docs/DIFFSIZE.md granularity
     note)."""
+    import numpy as np
+
     from .dataset import WaveformDataset
     from .writer import WaveformDataWriter
 
-    src = WaveformDataset(src_dir)
+    # sampling_rate=None: raw passthrough — no resampling, no component
+    # reorder/zero-fill; the stored samples and the metadata describing them
+    # (trace_sampling_rate_hz, *_arrival_sample) stay exactly as on disk
+    src = WaveformDataset(src_dir, sampling_rate=None)
     dest_dir = Path(dest_dir)
-    # get_waveforms returns CW arrays already reordered into the dataset
-    # object's component_order; declare exactly that layout in the new file
     fmt = dict(src.data_format)
-    fmt["dimension_order"] = "CW"
-    fmt["component_order"] = src.component_order
+    dim_order = fmt.get("dimension_order", "CW")
+    fmt["dimension_order"] = "CW"  # the writer stores (C, W)
+    # never persist columns the reader injected (it re-injects them on load;
+    # baking split='train' into a dataset that shipped none would disable
+    # prepare_data's auxiliary-split path)
+    drop = {"trace_chunk"} | (set() if src.had_split_column else {"split"})
     with WaveformDataWriter(
         dest_dir / "metadata.csv", dest_dir / "waveforms.hdf5", bucket_size=bucket_size
     ) as w:
         w.data_format = fmt
         for i in range(len(src)):
-            row = src.metadata.iloc[i].to_dict()
-            w.add_trace(row, src.get_waveforms(i))
+            full_row = src.metadata.iloc[i]
+            data = np.asarray(src._raw_waveform(full_row), dtype=np.float32)
+            if data.ndim == 1:
+                data = data[None, :]
+            if dim_order == "WC":
+                data = data.T
+            row = {k: v for k, v in full_row.to_dict().items() if k not in drop}
+            w.add_trace(row, data)
     out = WaveformDataset(dest_dir)
     return out.metadata["trace_name"].astype(str).str.split("$").str[0].nunique()

@@ -251,12 +251,10 @@ class EQTransformer:
             # these channel widths. Override per call or via
             # VOLPICK_EQT_FUSED=(0|1|lstm|grouped|blockdiag|lstm+…) if a
             # future chip/workload ranks differently.
-            env = os.environ.get("VOLPICK_EQT_FUSED")
-            if env is None or not env.strip():
+            env = os.environ.get("VOLPICK_EQT_FUSED", "").strip().lower()
+            if env in ("", "0", "false", "off", "no"):
                 fused = False
-            elif env in ("0", "false", "False"):
-                fused = False
-            elif env in ("1", "true", "True"):
+            elif env in ("1", "true", "on", "yes"):
                 fused = not train
             else:
                 fused = env if not train else False

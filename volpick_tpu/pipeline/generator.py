@@ -351,6 +351,8 @@ class TrainGenerator:
         # windows are cropped on device (device_gather_crop); only index/
         # offset vectors cross the host->device link per step. Auto-on when
         # every active source is preloaded and the pools fit the budget.
+        self._device_auto = device_data is None
+        self._device_pool_budget = device_pool_budget
         if device_data is None:
             srcs = [s for s in (self.primary, self.eq, self.noise) if s is not None]
             device_data = (
@@ -378,9 +380,24 @@ class TrainGenerator:
         # device-resident crops need every active source preloaded; sources
         # may be swapped after construction (e.g. forced-lazy HDF5 reads), so
         # re-derive the effective mode each epoch instead of trusting the
-        # __init__-time auto decision
+        # __init__-time auto decision. Auto mode degrades to the host path
+        # (and re-checks the pool budget against the current sources); an
+        # EXPLICIT device_data=True fails loudly rather than silently
+        # measuring the wrong path.
         srcs = [s for s in (self.primary, self.eq, self.noise) if s is not None]
-        device_on = self.device_data and all(s.preloaded for s in srcs)
+        if self._device_auto:
+            device_on = (
+                self.device_data
+                and all(s.preloaded for s in srcs)
+                and sum(s.pool_bytes for s in srcs) <= self._device_pool_budget
+            )
+        else:
+            device_on = self.device_data
+            if device_on and not all(s.preloaded for s in srcs):
+                raise RuntimeError(
+                    "device_data=True requires every active source preloaded; "
+                    "a lazy source was provided or swapped in after construction"
+                )
         dev_cfg = (
             dataclasses.replace(self.cfg, pre_windowed=True)
             if (self.host_window or device_on)
