@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--report-only", action="store_true",
                     help="rebuild docs/DIFFSIZE.md from existing eval artifacts"
                          " (no training, no eval; safe while the TPU is busy)")
+    ap.add_argument("--rebucket", type=int, default=None, metavar="N",
+                    help="repack the benchmark into N-trace HDF5 buckets "
+                         "(data/assemble.py repack_dataset, CPU-only) and run "
+                         "the study on the copy, so small fractions resolve "
+                         "to distinct bucket subsets instead of flooring to "
+                         "one coarse bucket; waveforms/targets are identical "
+                         "so eval stays comparable")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -67,6 +74,16 @@ def main():
     targets_dir = Path(args.eval_dir) / "targets"
     assert (data_dir / "metadata.csv").exists(), "run scripts/run_eval_benchmark.py first"
     assert (targets_dir / "task0.csv").exists(), "run scripts/run_eval_benchmark.py first"
+
+    if args.rebucket:
+        from volpick_tpu.data.assemble import repack_dataset
+
+        fine_dir = data_dir.parent / f"{data_dir.name}_b{args.rebucket}"
+        if not (fine_dir / "metadata.csv").exists():
+            n = repack_dataset(data_dir, fine_dir, bucket_size=args.rebucket)
+            print(f"repacked {data_dir} -> {fine_dir} ({n} buckets)", flush=True)
+        data_dir = fine_dir
+        args.save_dir = f"{args.save_dir}_b{args.rebucket}"
 
     def cfg(frac):
         return {
@@ -151,6 +168,9 @@ def main():
         print(f"{exp}: eval done", flush=True)
 
     df = pd.DataFrame(rows)
+    if df.empty:
+        print("no evaluated legs found; leaving docs/DIFFSIZE.md untouched", flush=True)
+        return
     import jax as _jax
     lines = [
         "# DIFFSIZE — task0 F1 vs training fraction",
@@ -169,7 +189,10 @@ def main():
         f"{n_blocks_total} buckets — requested fractions below 1/{n_blocks_total} floor "
         "to the same single bucket (`eff_fraction` is what each leg actually "
         "trained on). On the reference's real datasets (thousands of buckets) "
-        "the requested and effective fractions coincide.",
+        "the requested and effective fractions coincide. To resolve small "
+        "fractions here, run the same study with `--rebucket 32` (content-"
+        "identical repack via `data.assemble.repack_dataset`; 0.05/0.10/0.25 "
+        "then select 8/17/43 distinct buckets instead of flooring to one).",
         "",
         "## Dev-optimal-threshold task0 metrics vs fraction (same test split)",
         "",
