@@ -100,6 +100,26 @@ class TestPhaseNetClassify:
             best = max(pp, key=lambda p: p.peak_value)
             assert abs(best.peak_time.timestamp - (t0.timestamp + p_at)) < 1.0
 
+    def test_gappy_stream_picks_both_segments(self, picker, rng):
+        """A station with two disjoint segments (a recording gap) classifies
+        in one call: the segments land at their correct absolute offsets in
+        the zero-filled instrument buffer (`_group_arrays`), picks appear in
+        BOTH segments at the right absolute times, and the silent gap yields
+        none — real continuous-station data is gappy."""
+        st_a, t0 = synth_event_stream(rng, duration=60.0, p_at=30.0, s_at=33.0)
+        st_b, _ = synth_event_stream(rng, duration=60.0, p_at=30.0, s_at=34.0)
+        for tr in st_b:  # shift segment B two minutes later: 60 s gap
+            tr.stats.starttime = t0 + 120.0
+        st = Stream(list(st_a) + list(st_b))
+        out = picker.classify(st, overlap=2500, blinding=(500, 500))
+        p_times = sorted(p.peak_time.timestamp - t0.timestamp
+                         for p in out.picks.select(phase="P"))
+        assert any(abs(x - 30.0) < 1.0 for x in p_times), p_times
+        assert any(abs(x - 150.0) < 1.0 for x in p_times), p_times
+        in_gap = [x for x in (p.peak_time.timestamp - t0.timestamp
+                              for p in out.picks) if 62.0 < x < 118.0]
+        assert not in_gap, f"picks inside the recording gap: {in_gap}"
+
     def test_trigger_method_env_identical_picks(self, picker, rng, monkeypatch):
         """VOLPICK_TRIGGER_METHOD routes classify through each trigger
         lowering (incl. the fused-emission pallas_full kernel, interpret
