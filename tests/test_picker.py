@@ -120,6 +120,25 @@ class TestPhaseNetClassify:
                               for p in out.picks) if 62.0 < x < 118.0]
         assert not in_gap, f"picks inside the recording gap: {in_gap}"
 
+    def test_misaligned_components_and_foreign_rate(self, picker, rng):
+        """Components starting at different times align by absolute offset
+        in the instrument buffer, and a 50 Hz stream is resampled to the
+        model rate before picking (`_group_arrays`): the pick still lands at
+        the correct absolute time."""
+        st, t0 = synth_event_stream(rng, duration=60.0, p_at=30.0, s_at=33.0)
+        # decimate every trace to 50 Hz and desynchronize the horizontals
+        for k, tr in enumerate(st):
+            tr.data = tr.data[::2].copy()
+            tr.stats.sampling_rate = 50.0
+            if k > 0:  # N/E start 2 s late (drop their first 100 samples)
+                tr.data = tr.data[100:].copy()
+                tr.stats.starttime = t0 + 2.0
+        out = picker.classify(st, overlap=2500, blinding=(500, 500))
+        pp = out.picks.select(phase="P")
+        assert pp, f"no P picks: {out.picks}"
+        best = max(pp, key=lambda p: p.peak_value)
+        assert abs(best.peak_time.timestamp - t0.timestamp - 30.0) < 1.0
+
     def test_trigger_method_env_identical_picks(self, picker, rng, monkeypatch):
         """VOLPICK_TRIGGER_METHOD routes classify through each trigger
         lowering (incl. the fused-emission pallas_full kernel, interpret
