@@ -655,23 +655,27 @@ def _train_one_model(model_cls):
          "samples_per_s_per_chip": round(B / per_step, 1)})
 
 
-def stage_classify_chunks():
-    """Chunk-size sweep for EQT fused classify: the one-scan program runs
-    ceil(n_win/wpc) sequential steps, each a (chunk)-window forward whose
-    4 merged 47-step LSTM scans are latency- not FLOP-bound — so doubling
-    the chunk should amortize the sequential scan latency near-linearly
-    until VMEM/HBM pressure pushes back. Finds the speed-of-light chunk for
-    the bench workload (8 stations x 20 min, stride 500)."""
+def stage_classify_chunks(arch: str = "eqtransformer"):
+    """Chunk-size sweep for the fused classify: the one-scan program runs
+    ceil(n_win/wpc) sequential steps, each a (chunk)-window forward, so a
+    bigger chunk amortizes the sequential scan latency until VMEM/HBM
+    pressure (or padding waste on the last step) pushes back. Measured r4
+    verdict for EQT on the v5e: chunk 256 is the optimum (109.1k windows/s)
+    and 512/1024/2048 are strictly worse (98.7/67.5/66.8k) — scan latency
+    is NOT the limiter. `--arch phasenet|tpupicknet` sweeps the others."""
     import jax
     import jax.numpy as jnp
 
-    from volpick_tpu.models import from_pretrained
+    from volpick_tpu.models import from_pretrained, load_model
     from volpick_tpu.ops.windows import window_starts
     from volpick_tpu.picker import WaveformPicker
 
-    model, params = from_pretrained(
-        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
-    )
+    if arch in ("phasenet", "eqtransformer"):
+        model, params = from_pretrained(
+            arch, search_paths=["/root/reference/Final_models/volpick"]
+        )
+    else:  # tpupicknet has no published weights; random init rates the same
+        model, params = load_model(arch)
     window = model.in_samples
     rng = np.random.default_rng(0)
     data = rng.normal(size=(8, 3, 120000)).astype(np.float32)
@@ -711,7 +715,7 @@ def stage_classify_chunks():
         ta = min(t(la) for _ in range(2))
         tb = min(t(lb) for _ in range(2))
         per_iter = max(tb - ta, 1e-9) / 20
-        log({"stage": "classify_chunks", "model": "eqtransformer",
+        log({"stage": "classify_chunks", "model": arch,
              "chunk": chunk, "n_windows_per_iter": 8 * len(starts),
              "ms_per_iter": round(per_iter * 1000, 2),
              "windows_per_s": round(8 * len(starts) / per_iter, 1)})
@@ -1024,6 +1028,8 @@ def main():
     ap.add_argument("--fused-forward", action="store_true")
     ap.add_argument("--train-e2e", action="store_true")
     ap.add_argument("--classify-chunks", action="store_true")
+    ap.add_argument("--arch", default="eqtransformer",
+                    help="architecture for --classify-chunks")
     args = ap.parse_args()
 
     import volpick_tpu
@@ -1060,7 +1066,7 @@ def main():
     elif args.train_e2e:
         stage_train_e2e()
     elif args.classify_chunks:
-        stage_classify_chunks()
+        stage_classify_chunks(args.arch)
     else:
         stage_conditioning()
 
