@@ -172,6 +172,30 @@ def main():
         print("no evaluated legs found; leaving docs/DIFFSIZE.md untouched", flush=True)
         return
     import jax as _jax
+
+    doc = REPO / "docs" / "DIFFSIZE.md"
+    if args.rebucket:
+        # append (or refresh) a fine-bucket section under the committed
+        # coarse table, which stays as the reference-exact-behavior exhibit
+        marker = "## Fine-bucket re-run"
+        base = doc.read_text() if doc.exists() else "# DIFFSIZE\n"
+        base = base.split(marker)[0].rstrip() + "\n"
+        lines = [
+            base,
+            f"{marker} (`--rebucket {args.rebucket}`)",
+            "",
+            f"Same recipe and budget on the content-identical repack "
+            f"({n_blocks_total} train buckets of ≤{args.rebucket} traces, "
+            "`data.assemble.repack_dataset`) so every requested fraction "
+            "selects a distinct bucket subset:",
+            "",
+            fmt_table(df),
+            "",
+        ]
+        doc.write_text("\n".join(lines))
+        print("appended fine-bucket section to docs/DIFFSIZE.md", flush=True)
+        print(json.dumps(timings), flush=True)
+        return
     lines = [
         "# DIFFSIZE — task0 F1 vs training fraction",
         "",
@@ -207,7 +231,11 @@ def main():
                       .rename(columns={"index": "stage", 0: "seconds"})),
             "",
         ]
-    (REPO / "docs" / "DIFFSIZE.md").write_text("\n".join(lines))
+    # a coarse rewrite must not drop a previously appended fine-bucket section
+    if doc.exists() and "## Fine-bucket re-run" in doc.read_text():
+        old = doc.read_text()
+        lines.append("## Fine-bucket re-run" + old.split("## Fine-bucket re-run", 1)[1])
+    doc.write_text("\n".join(lines))
     print("wrote docs/DIFFSIZE.md", flush=True)
     print(json.dumps(timings), flush=True)
 
