@@ -461,6 +461,24 @@ class TestLazySource:
         np.testing.assert_array_equal(a["len"], b["len"])
         np.testing.assert_allclose(a["p"], b["p"], equal_nan=True)
 
+    def test_dataset_smaller_than_batch_still_trains(self, tmp_path, rng):
+        """n_traces < batch_size with drop_last=True must yield ONE padded
+        batch, not zero steps — zero steps made train_loss nan and froze the
+        lr schedule while val kept evaluating (found by the fine-bucket
+        diffsize 5% leg: 155 traces, batch 256)."""
+        from volpick_tpu.pipeline.augmentations import AugmentConfig
+        from volpick_tpu.pipeline.generator import TrainGenerator
+
+        make_synthetic_dataset(tmp_path / "d", n_events=10, n_noise=2, n_samples=3500, seed=3)
+        ds = WaveformDataset(tmp_path / "d").get_split("train")
+        gen = TrainGenerator(ds, AugmentConfig(window=3001, stack=False),
+                             batch_size=64, drop_last=True)
+        assert len(gen) == 1
+        batches = list(gen.epoch())
+        assert len(batches) == 1
+        X = np.asarray(batches[0]["X"])
+        assert X.shape[0] == 64 and np.isfinite(X).all()
+
     def test_lazy_generator_trains(self, tmp_path, rng):
         import jax
         from volpick_tpu.pipeline.augmentations import AugmentConfig

@@ -363,6 +363,11 @@ class TrainGenerator:
         self.device_data = bool(device_data)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
+        # a dataset smaller than one batch would otherwise yield ZERO steps
+        # per epoch: training silently does nothing (train_loss = mean over
+        # no steps = nan, warmup/schedule frozen) — pad a single batch instead
+        if drop_last and len(self.primary) < batch_size:
+            drop_last = False
         self.drop_last = drop_last
         self.prefetch = prefetch
 
