@@ -205,3 +205,74 @@ class TestMiniSEED:
         write_mseed(Stream([tr]), tmp_path / "m.mseed")
         st = read_mseed(tmp_path / "m.mseed")
         assert len(st) == 1 and st[0].stats.npts == 3000
+
+
+class TestObspyInterop:
+    """Duck-typed converters (core/interop.py): no obspy in this container,
+    so from_obspy is driven with obspy-shaped fakes and to_obspy with a
+    stubbed obspy module."""
+
+    @staticmethod
+    def _fake_obspy_stream():
+        class FakeUTC:
+            def __init__(self, ts): self.timestamp = ts
+
+        class FakeStats:
+            def __init__(self, **kw): self.__dict__.update(kw)
+
+        class FakeTrace:
+            def __init__(self, data, **kw):
+                self.data = data
+                self.stats = FakeStats(**kw)
+
+        import numpy as np
+        rng = np.random.default_rng(0)
+        return [
+            FakeTrace(rng.normal(size=500).astype(np.float32),
+                      network="XX", station="AAA", location="00",
+                      channel=f"HH{c}", sampling_rate=100.0,
+                      starttime=FakeUTC(1700000000.0 + 0.25))
+            for c in "ZNE"
+        ]
+
+    def test_from_obspy(self):
+        import numpy as np
+        from volpick_tpu.core import Stream, from_obspy
+
+        st = from_obspy(self._fake_obspy_stream())
+        assert isinstance(st, Stream) and len(st) == 3
+        tr = st[0]
+        assert tr.id == "XX.AAA.00.HHZ"
+        assert tr.stats.sampling_rate == 100.0
+        assert abs(tr.stats.starttime.timestamp - 1700000000.25) < 1e-6
+        assert tr.stats.npts == 500 and np.isfinite(tr.data).all()
+
+    def test_to_obspy_roundtrip_with_stub(self, monkeypatch):
+        import sys
+        import types
+        import numpy as np
+        from volpick_tpu.core import from_obspy, to_obspy
+
+        captured = []
+
+        stub = types.ModuleType("obspy")
+
+        class StubUTC:
+            def __init__(self, ts): self.timestamp = float(ts)
+
+        class StubTrace:
+            def __init__(self, data=None, header=None):
+                self.data = data
+                self.stats = types.SimpleNamespace(**(header or {}))
+
+        stub.UTCDateTime = StubUTC
+        stub.Trace = StubTrace
+        stub.Stream = lambda traces: captured.extend(traces) or captured
+        monkeypatch.setitem(sys.modules, "obspy", stub)
+
+        native = from_obspy(self._fake_obspy_stream())
+        out = to_obspy(native)
+        assert len(out) == 3
+        np.testing.assert_array_equal(out[0].data, native[0].data)
+        assert out[0].stats.channel == "HHZ"
+        assert abs(out[0].stats.starttime.timestamp - 1700000000.25) < 1e-6
