@@ -1012,6 +1012,54 @@ def stage_fused_forward():
                  "windows_per_s": round(B / t, 1)})
 
 
+def stage_forward_stages():
+    """Split the EQT forward's wall time BY STAGE with cumulative-prefix
+    ablation (`EQTransformer.apply(stop_after=...)`): each prefix returns its
+    live intermediate (no DCE), successive differences are the per-stage
+    cost. Decides where the 1.72 ms batch-256 forward actually goes —
+    candidate bounds: the 8×47-step LSTM scans (sequential-latency), the
+    additive attention's O(B·T²·U) tanh (VPU-transcendental, explains the
+    bf16 no-win), or the upsampling decoders (HBM traffic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volpick_tpu.models import from_pretrained
+
+    model, params = from_pretrained(
+        "eqtransformer", search_paths=["/root/reference/Final_models/volpick"]
+    )
+    B, C, W = 256, 3, 6000
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(B, C, W)).astype(np.float32)
+
+    prefixes = ("encoder", "res_cnn", "bilstm", "transformer", "pick", None)
+    times = {}
+    for stop in prefixes:
+        def op(d, stop=stop):
+            out = model.apply(params, d, stop_after=stop)
+            if not isinstance(out, tuple):
+                out = (out,)
+            # consume EVERY output tensor (strided) so no branch is DCE'd
+            return sum(jnp.sum(o[..., ::97]) for o in out).astype(jnp.float32)
+
+        t = bench_loop(op, data, iters_a=4, iters_b=24)
+        times[stop or "full"] = t
+        log({"stage": "forward_stages", "model": "eqtransformer", "batch": B,
+             "prefix": stop or "full", "ms_per_iter": round(t * 1000, 3),
+             "windows_per_s": round(B / t, 1)})
+
+    order = ["encoder", "res_cnn", "bilstm", "transformer", "pick", "full"]
+    prev = 0.0
+    deltas = {}
+    for name in order:
+        deltas[name] = times[name] - prev
+        prev = times[name]
+    log({"stage": "forward_stages", "model": "eqtransformer", "batch": B,
+         "deltas_ms": {k: round(v * 1000, 3) for k, v in deltas.items()},
+         "note": "per-stage cost = successive prefix differences; 'full' "
+                 "delta = decoders + output convs"})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rescnn", action="store_true")
@@ -1026,6 +1074,7 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--scan-breakdown", action="store_true")
     ap.add_argument("--fused-forward", action="store_true")
+    ap.add_argument("--forward-stages", action="store_true")
     ap.add_argument("--train-e2e", action="store_true")
     ap.add_argument("--classify-chunks", action="store_true")
     ap.add_argument("--arch", default="eqtransformer",
@@ -1063,6 +1112,8 @@ def main():
         stage_scan_breakdown()
     elif args.fused_forward:
         stage_fused_forward()
+    elif args.forward_stages:
+        stage_forward_stages()
     elif args.train_e2e:
         stage_train_e2e()
     elif args.classify_chunks:

@@ -151,6 +151,30 @@ class TestEQTransformer:
         with pytest.raises(ValueError):
             model.apply(params, jnp.zeros((1, 3, 6000)), train=True, fused=True)
 
+    def test_stop_after_prefixes(self):
+        """stop_after returns each stage's live intermediate at the right
+        shape (the --forward-stages probe's contract) and rejects unknown
+        stages and train mode."""
+        from volpick_tpu.models import EQTransformer
+
+        model = EQTransformer()
+        params = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 6000))
+        shapes = {
+            "encoder": (2, 64, 47),
+            "res_cnn": (2, 64, 47),
+            "bilstm": (2, 16, 47),
+            "transformer": (2, 16, 47),
+        }
+        for stage, shape in shapes.items():
+            assert model.apply(params, x, stop_after=stage).shape == shape
+        pick = model.apply(params, x, stop_after="pick")
+        assert len(pick) == 3 and all(p.shape == (2, 16, 47) for p in pick)
+        with pytest.raises(ValueError):
+            model.apply(params, x, stop_after="bogus")
+        with pytest.raises(ValueError):
+            model.apply(params, x, train=True, stop_after="encoder")
+
     def test_encoder_length_arithmetic(self):
         from volpick_tpu.models.eqtransformer import (
             _decoder_crops,

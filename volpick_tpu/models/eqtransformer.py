@@ -225,6 +225,7 @@ class EQTransformer:
         rng: Optional[jax.Array] = None,
         logits: bool = False,
         fused: Optional[bool] = None,
+        stop_after: Optional[str] = None,
     ):
         """x: (B, 3, 6000) → (detection, P, S) each (B, 6000).
 
@@ -238,7 +239,20 @@ class EQTransformer:
         launches. Train mode keeps the per-branch program (per-branch
         dropout masks). See the flag parsing below for the measurable
         sub-variants ("lstm", "grouped", "blockdiag").
+
+        `stop_after` (probe/diagnostic, eval-only) truncates the program
+        after the named stage and returns that stage's live intermediate —
+        "encoder" | "res_cnn" | "bilstm" | "transformer" (the trunk (B,16,T))
+        or "pick" (the tuple of per-branch decoder inputs). Timing these
+        prefixes with successive differencing splits the forward's wall time
+        by stage (scripts/tpu_probe.py --forward-stages); returning the raw
+        intermediate keeps the whole prefix live against XLA DCE.
         """
+        _STAGES = ("encoder", "res_cnn", "bilstm", "transformer", "pick")
+        if stop_after is not None and stop_after not in _STAGES:
+            raise ValueError(f"stop_after must be one of {_STAGES}")
+        if stop_after is not None and train:
+            raise ValueError("stop_after is inference-only")
         if fused is None:
             # Eval-mode default: per-branch (fused off), on two measurements
             # (docs/TPU_PROBE.jsonl): end-to-end fused classify 86.0k
@@ -304,6 +318,8 @@ class EQTransformer:
         for conv_p, pad in zip(params["encoder"], pool_pads):
             h = act(conv1d_same(h, conv_p["w"], conv_p["b"]))
             h = max_pool1d(h, 2, padding=pad)
+        if stop_after == "encoder":
+            return h
 
         # --- residual CNN stack (pre-activation)
         for j, block in enumerate(params["res_cnn"]):
@@ -315,6 +331,8 @@ class EQTransformer:
             y = spatial_dropout1d(y, self.drop_rate, next_rng(), train)
             y = conv1d_same(y, block["conv2"]["w"], block["conv2"]["b"])
             h = h + y
+        if stop_after == "res_cnn":
+            return h
 
         # --- BiLSTM stack
         for j, block in enumerate(params["bilstm"]):
@@ -322,6 +340,8 @@ class EQTransformer:
             y = dropout(y, self.drop_rate, next_rng(), train)
             y = conv1d(y, block["conv"]["w"], block["conv"]["b"])
             h = bn(y, block["norm"], f"bilstm.{j}.norm")
+        if stop_after == "bilstm":
+            return h
 
         # --- transformer blocks
         def transformer_block(h, p, path):
@@ -337,6 +357,8 @@ class EQTransformer:
 
         h = transformer_block(h, params["transformer_d0"], "transformer_d0")
         h = transformer_block(h, params["transformer_d"], "transformer_d")
+        if stop_after == "transformer":
+            return h
 
         # --- decoders
         crops = set(_decoder_crops(self.in_samples, len(self.filters)))
@@ -371,6 +393,8 @@ class EQTransformer:
                 px = dropout(px, self.drop_rate, next_rng(), train)
                 px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
                 branch_ins.append(px)
+        if stop_after == "pick":
+            return tuple(branch_ins)
 
         dec_lists = [params[dk] for dk, _ in self.detection_branches]
         dec_lists += list(params["pick_decoders"])
