@@ -137,7 +137,8 @@ class TestEQTransformer:
             x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 6000))
             ref = model.apply(params, x, fused=False)
             for variant in (True, "lstm", "grouped", "blockdiag",
-                            "lstm+grouped", "lstm+blockdiag"):
+                            "lstm+grouped", "lstm+blockdiag",
+                            "bandattn", "lstm+bandattn"):
                 got = model.apply(params, x, fused=variant)
                 assert len(ref) == len(got)
                 for r, g in zip(ref, got):

@@ -40,6 +40,7 @@ from volpick_tpu.models.layers import (
     lstm_multi,
     max_pool1d,
     seq_self_attention,
+    seq_self_attention_banded,
     spatial_dropout1d,
     upsample_nearest,
 )
@@ -280,16 +281,21 @@ class EQTransformer:
         # merge the decoders (feature_group_count conv vs one dense conv with
         # block-diagonal weights — on TPU both land in one padded MXU tile,
         # but they lower differently). True = "lstm+blockdiag".
+        band_attn = False
         if fused is True:
             fuse_lstm, decode_mode = True, "blockdiag"
         elif not fused:
             fuse_lstm, decode_mode = False, "branch"
         else:
             parts = set(str(fused).split("+"))
-            unknown = parts - {"lstm", "grouped", "blockdiag"}
+            unknown = parts - {"lstm", "grouped", "blockdiag", "bandattn"}
             if unknown:
                 raise ValueError(f"unknown fused flags: {sorted(unknown)}")
             fuse_lstm = "lstm" in parts
+            # "bandattn": pick-branch attention computes only its width-3
+            # band (layers.seq_self_attention_banded) instead of the dense
+            # masked T×T energies — O(eps) deviation, pinned by test
+            band_attn = "bandattn" in parts
             decode_mode = (
                 "grouped" if "grouped" in parts
                 else "blockdiag" if "blockdiag" in parts
@@ -383,15 +389,23 @@ class EQTransformer:
             bias = jnp.stack([lp["b_ih"] + lp["b_hh"] for lp in params["pick_lstms"]])
             px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
             attn_p = jax.tree.map(lambda *a: jnp.stack(a), *params["pick_attentions"])
-            px = jax.vmap(
-                lambda xb, pb: seq_self_attention(xb, pb, attention_width=3, eps=_ATTN_EPS)[0]
-            )(px, attn_p)
+            if band_attn:
+                px = jax.vmap(
+                    lambda xb, pb: seq_self_attention_banded(xb, pb, 3, eps=_ATTN_EPS)
+                )(px, attn_p)
+            else:
+                px = jax.vmap(
+                    lambda xb, pb: seq_self_attention(xb, pb, attention_width=3, eps=_ATTN_EPS)[0]
+                )(px, attn_p)
             branch_ins.extend(px[i] for i in range(n_phase))
         else:
             for lp, ap in zip(params["pick_lstms"], params["pick_attentions"]):
                 px = lstm(h, lp["w_ih"], lp["w_hh"], lp["b_ih"], lp["b_hh"])
                 px = dropout(px, self.drop_rate, next_rng(), train)
-                px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
+                if band_attn:
+                    px = seq_self_attention_banded(px, ap, 3, eps=_ATTN_EPS)
+                else:
+                    px, _ = seq_self_attention(px, ap, attention_width=3, eps=_ATTN_EPS)
                 branch_ins.append(px)
         if stop_after == "pick":
             return tuple(branch_ins)

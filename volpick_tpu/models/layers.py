@@ -288,3 +288,50 @@ def seq_self_attention(
     a = e / (jnp.sum(e, axis=-1, keepdims=True) + eps)
     v = a @ xt  # (B, T, C)
     return v.transpose(0, 2, 1), a
+
+
+def seq_self_attention_banded(
+    x: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    attention_width: int,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Banded additive self-attention: computes ONLY the `attention_width`
+    diagonals of `seq_self_attention`'s (B, T, T) energy matrix — W·B·T·U
+    tanh evaluations instead of B·T²·U (15.7× fewer at W=3, T=47). The
+    dense path evaluates the full matrix and masks afterwards
+    (the keras SeqSelfAttention semantics the reference's pick branches
+    inherit via SeisBench).
+
+    Deviation from the dense path: the numerically-stabilizing max is taken
+    over the BAND instead of the full row. The subtraction itself cancels in
+    the softmax ratio; it survives only through the `+eps` in the
+    denominator, scaled by exp(max_band − max_row) ≤ 1 — i.e. the banded
+    result differs from the dense one by O(eps) in the attention weights
+    (equality is pinned at 1e-5 on the shipped weights by
+    tests/test_model_parity.py). Returns values only (B, C, T).
+    """
+    b, c, t = x.shape
+    xt = x.transpose(0, 2, 1)  # (B, T, C)
+    q = xt @ p["Wt"] + p["bh"]  # (B, T, U); fold bh into the query once
+    k = xt @ p["Wx"]  # (B, T, U)
+    lo = -(attention_width // 2)
+    offsets = range(lo, lo + attention_width)
+    idx = jnp.arange(t)
+    raws, valids, vals = [], [], []
+    for d in offsets:
+        # k and x shifted by d with zero padding; validity mask kills pads
+        kd = jnp.roll(k, -d, axis=1)
+        xd = jnp.roll(xt, -d, axis=1)
+        valid = (idx + d >= 0) & (idx + d < t)  # (T,)
+        raw = jnp.tanh(q + kd) @ p["Wa"] + p["ba"][0]  # (B, T, 1)
+        raws.append(raw[..., 0])
+        valids.append(valid)
+        vals.append(xd)
+    raw = jnp.stack(raws, axis=-1)  # (B, T, W)
+    valid = jnp.stack(valids, axis=-1)[None]  # (1, T, W)
+    m = jnp.max(jnp.where(valid, raw, -jnp.inf), axis=-1, keepdims=True)
+    e = jnp.where(valid, jnp.exp(raw - m), 0.0)  # (B, T, W)
+    a = e / (jnp.sum(e, axis=-1, keepdims=True) + eps)
+    v = jnp.einsum("btw,bwtc->btc", a, jnp.stack(vals, axis=1))
+    return v.transpose(0, 2, 1)
