@@ -971,7 +971,7 @@ def stage_scan_breakdown():
     log(results)
 
 
-def stage_fused_forward():
+def stage_fused_forward(variants=None, precisions=("float32", "bfloat16")):
     """r4 fused-inference transforms: merged LSTM scans (8 sequential 47-step
     scans → 4 via lstm_multi) + grouped decoder convs (det/P/S branches as
     ONE feature_group_count=3 conv stack) vs the reference per-branch
@@ -989,9 +989,10 @@ def stage_fused_forward():
     rng = np.random.default_rng(0)
     data = rng.normal(size=(B, C, W)).astype(np.float32)
 
-    variants = (False, "lstm", "grouped", "blockdiag",
-                "lstm+grouped", "lstm+blockdiag")
-    for precision in ("float32", "bfloat16"):
+    if variants is None:
+        variants = (False, "lstm", "grouped", "blockdiag",
+                    "lstm+grouped", "lstm+blockdiag")
+    for precision in precisions:
         if precision == "bfloat16":
             p_use = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), params)
@@ -1075,6 +1076,10 @@ def main():
     ap.add_argument("--scan-breakdown", action="store_true")
     ap.add_argument("--fused-forward", action="store_true")
     ap.add_argument("--forward-stages", action="store_true")
+    ap.add_argument("--fused-variants", default=None,
+                    help="comma list for --fused-forward (e.g. "
+                         "'False,bandattn,polyup,bandattn+polyup'); "
+                         "fp32 only when set")
     ap.add_argument("--train-e2e", action="store_true")
     ap.add_argument("--classify-chunks", action="store_true")
     ap.add_argument("--arch", default="eqtransformer",
@@ -1111,7 +1116,12 @@ def main():
     elif args.scan_breakdown:
         stage_scan_breakdown()
     elif args.fused_forward:
-        stage_fused_forward()
+        if args.fused_variants:
+            vs = tuple(False if v in ("False", "0") else v
+                       for v in args.fused_variants.split(","))
+            stage_fused_forward(variants=vs, precisions=("float32",))
+        else:
+            stage_fused_forward()
     elif args.forward_stages:
         stage_forward_stages()
     elif args.train_e2e:

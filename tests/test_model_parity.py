@@ -138,7 +138,9 @@ class TestEQTransformer:
             ref = model.apply(params, x, fused=False)
             for variant in (True, "lstm", "grouped", "blockdiag",
                             "lstm+grouped", "lstm+blockdiag",
-                            "bandattn", "lstm+bandattn"):
+                            "bandattn", "lstm+bandattn",
+                            "polyup", "bandattn+polyup",
+                            "lstm+grouped+polyup"):
                 got = model.apply(params, x, fused=variant)
                 assert len(ref) == len(got)
                 for r, g in zip(ref, got):
@@ -151,6 +153,37 @@ class TestEQTransformer:
         params = model.init(jax.random.PRNGKey(0))
         with pytest.raises(ValueError):
             model.apply(params, jnp.zeros((1, 3, 6000)), train=True, fused=True)
+
+    def test_polyphase_upsample_conv_equality(self):
+        """layers.upsample2_conv1d_same == conv1d_same(upsample_nearest(x,2))
+        across the decoder's kernel sizes, the crop step, and grouped
+        merging (reassociation noise only)."""
+        from volpick_tpu.models.layers import (
+            conv1d_same,
+            upsample2_conv1d_same,
+            upsample_nearest,
+        )
+
+        rng = np.random.default_rng(7)
+        for k in (3, 7, 11):
+            for crop in (False, True):
+                for groups in (1, 3):
+                    x = jnp.asarray(rng.normal(
+                        size=(2, 8 * groups, 47)).astype(np.float32))
+                    w = jnp.asarray(rng.normal(
+                        size=(12 * groups, 8, k)).astype(np.float32))
+                    b = jnp.asarray(rng.normal(size=(12 * groups,)).astype(np.float32))
+                    u = upsample_nearest(x, 2)
+                    if crop:
+                        u = u[..., :-1]
+                    ref = conv1d_same(u, w, b, groups=groups)
+                    got = upsample2_conv1d_same(x, w, b, crop_last=crop, groups=groups)
+                    assert got.shape == ref.shape
+                    rel = float(jnp.abs(ref - got).max()) / float(jnp.abs(ref).max())
+                    assert rel < 1e-5, (k, crop, groups, rel)
+        with pytest.raises(ValueError):
+            upsample2_conv1d_same(
+                jnp.zeros((1, 4, 8)), jnp.zeros((4, 4, 2)))
 
     def test_stop_after_prefixes(self):
         """stop_after returns each stage's live intermediate at the right

@@ -42,6 +42,7 @@ from volpick_tpu.models.layers import (
     seq_self_attention,
     seq_self_attention_banded,
     spatial_dropout1d,
+    upsample2_conv1d_same,
     upsample_nearest,
 )
 
@@ -281,14 +282,14 @@ class EQTransformer:
         # merge the decoders (feature_group_count conv vs one dense conv with
         # block-diagonal weights — on TPU both land in one padded MXU tile,
         # but they lower differently). True = "lstm+blockdiag".
-        band_attn = False
+        band_attn = poly_up = False
         if fused is True:
             fuse_lstm, decode_mode = True, "blockdiag"
         elif not fused:
             fuse_lstm, decode_mode = False, "branch"
         else:
             parts = set(str(fused).split("+"))
-            unknown = parts - {"lstm", "grouped", "blockdiag", "bandattn"}
+            unknown = parts - {"lstm", "grouped", "blockdiag", "bandattn", "polyup"}
             if unknown:
                 raise ValueError(f"unknown fused flags: {sorted(unknown)}")
             fuse_lstm = "lstm" in parts
@@ -296,6 +297,11 @@ class EQTransformer:
             # band (layers.seq_self_attention_banded) instead of the dense
             # masked T×T energies — O(eps) deviation, pinned by test
             band_attn = "bandattn" in parts
+            # "polyup": decoder upsample+conv as polyphase convs at input
+            # resolution (layers.upsample2_conv1d_same) — half the conv
+            # FLOPs, no 2× intermediate in HBM; composes with grouped/
+            # blockdiag merging
+            poly_up = "polyup" in parts
             decode_mode = (
                 "grouped" if "grouped" in parts
                 else "blockdiag" if "blockdiag" in parts
@@ -371,6 +377,10 @@ class EQTransformer:
 
         def decode(h, convs):
             for i, conv_p in enumerate(convs):
+                if poly_up:
+                    h = act(upsample2_conv1d_same(
+                        h, conv_p["w"], conv_p["b"], crop_last=i in crops))
+                    continue
                 h = upsample_nearest(h, 2)
                 if i in crops:
                     h = h[..., :-1]
@@ -440,11 +450,15 @@ class EQTransformer:
                 return _block_diag_kernel(ws), b_g, 1
 
             for i in range(len(dec_lists[0])):
+                w_g, b_g, g = merged([d[i]["w"] for d in dec_lists],
+                                     [d[i]["b"] for d in dec_lists])
+                if poly_up:
+                    z = act(upsample2_conv1d_same(
+                        z, w_g, b_g, crop_last=i in crops, groups=g))
+                    continue
                 z = upsample_nearest(z, 2)
                 if i in crops:
                     z = z[..., :-1]
-                w_g, b_g, g = merged([d[i]["w"] for d in dec_lists],
-                                     [d[i]["b"] for d in dec_lists])
                 z = act(conv1d_same(z, w_g, b_g, groups=g))
             w_o, b_o, g = merged([c["w"] for c in out_convs],
                                  [c["b"] for c in out_convs])

@@ -62,6 +62,61 @@ def conv1d_same(x, w, b=None, groups: int = 1):
     return conv1d(x, w, b, padding=((k - 1) // 2, k // 2), groups=groups)
 
 
+def upsample2_conv1d_same(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    crop_last: bool = False,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """`conv1d_same(upsample_nearest(x, 2)[..., :-1 if crop_last else None], w, b)`
+    as TWO polyphase convs at input resolution — the decoder hot path.
+
+    Nearest-upsampling repeats every sample, so output parity r satisfies
+    ``out[2i+r] = Σ_j w[j]·x[(2i+r+j-p)//2]``: taps j that floor to the same
+    x index condense into one tap, giving per-parity kernels of ⌈k/2⌉+... ≤
+    ⌈(k+1)/2⌉ taps. Halves the conv FLOPs and never materializes the 2×
+    upsampled intermediate in HBM. Exact up to the w-tap pre-summation
+    reassociation (pinned ≤1e-5 by tests). Odd k only (the EQT/PhaseNet
+    decoder kernels are 3/5/7/9/11).
+
+    ``crop_last`` reproduces the decoder's odd-length step (upsample → drop
+    last sample → conv): computed as the even-length result sliced to 2T−1
+    with the phantom last-copy contribution of x[T−1] subtracted from the
+    final (k−1)//2 positions (exact, see _decoder_crops).
+    """
+    k = w.shape[-1]
+    if k % 2 == 0:
+        raise ValueError("upsample2_conv1d_same supports odd kernels only")
+    p = (k - 1) // 2
+    t = x.shape[-1]
+    outs = []
+    for r in (0, 1):
+        d_vals = [(r + j - p) // 2 for j in range(k)]
+        d_min, d_max = d_vals[0], d_vals[-1]
+        wk = jnp.zeros(w.shape[:-1] + (d_max - d_min + 1,), w.dtype)
+        for j, d in enumerate(d_vals):
+            wk = wk.at[..., d - d_min].add(w[..., j])
+        outs.append(conv1d(x, wk, padding=(-d_min, d_max), groups=groups))
+    y = jnp.stack(outs, axis=-1).reshape(x.shape[0], w.shape[0], 2 * t)
+    if crop_last:
+        y = y[..., : 2 * t - 1]
+        if p > 0:
+            # u_full[2T-1] = x[T-1] leaked into the last p outputs; remove it
+            in_per_group = w.shape[1]
+            o_per_group = w.shape[0] // groups
+            xg = x[..., t - 1].reshape(x.shape[0], groups, in_per_group)
+            # position m (of the last p) uses tap j = 2p - m: w[..., p+1:] reversed
+            wg = w[..., p + 1 :][..., ::-1].reshape(groups, o_per_group, in_per_group, p)
+            corr = jnp.einsum("bgi,goip->bgop", xg, wg).reshape(
+                x.shape[0], w.shape[0], p
+            )
+            y = y.at[..., 2 * t - 1 - p :].add(-corr)
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     w_flipped: jnp.ndarray,
