@@ -140,7 +140,8 @@ class TestEQTransformer:
                             "lstm+grouped", "lstm+blockdiag",
                             "bandattn", "lstm+bandattn",
                             "polyup", "bandattn+polyup",
-                            "lstm+grouped+polyup"):
+                            "lstm+grouped+polyup",
+                            "plstm", "plstm+bandattn+polyup"):
                 got = model.apply(params, x, fused=variant)
                 assert len(ref) == len(got)
                 for r, g in zip(ref, got):

@@ -77,3 +77,41 @@ class TestResCNNKernel:
         ref = np.asarray(self._reference(params, x))
         got = np.asarray(res_cnn_stack_pallas(x, fold_res_cnn_params(params), tile=8, interpret=True))
         np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+class TestLSTMKernel:
+    """ops/pallas/lstm.py vs layers.lstm_multi (interpreter mode on CPU)."""
+
+    def test_matches_lstm_multi(self, rng):
+        from volpick_tpu.models.layers import lstm_multi
+        from volpick_tpu.ops.pallas.lstm import lstm_multi_pallas
+
+        for g, b, c, t, h in ((2, 4, 64, 47, 16), (3, 2, 16, 31, 16)):
+            xs = jnp.asarray(rng.normal(size=(g, b, c, t)).astype(np.float32))
+            w_ih = jnp.asarray(rng.normal(size=(g, 4 * h, c)).astype(np.float32) * 0.2)
+            w_hh = jnp.asarray(rng.normal(size=(g, 4 * h, h)).astype(np.float32) * 0.2)
+            bias = jnp.asarray(rng.normal(size=(g, 4 * h)).astype(np.float32) * 0.1)
+            ref = lstm_multi(xs, w_ih, w_hh, bias)
+            got = lstm_multi_pallas(xs, w_ih, w_hh, bias, interpret=True)
+            assert got.shape == ref.shape == (g, b, h, t)
+            assert float(jnp.abs(ref - got).max()) < 1e-5
+
+    def test_bilstm_pallas_mode(self, rng):
+        """bilstm(fused='pallas') equals the unfused reference recurrence."""
+        import jax
+
+        from volpick_tpu.models.layers import bilstm
+
+        h = 16
+        c = 32
+        p = {}
+        for suf in ("", "_rev"):
+            p[f"w_ih{suf}"] = jnp.asarray(rng.normal(size=(4 * h, c)).astype(np.float32) * 0.2)
+            p[f"w_hh{suf}"] = jnp.asarray(rng.normal(size=(4 * h, h)).astype(np.float32) * 0.2)
+            p[f"b_ih{suf}"] = jnp.asarray(rng.normal(size=(4 * h,)).astype(np.float32) * 0.1)
+            p[f"b_hh{suf}"] = jnp.asarray(rng.normal(size=(4 * h,)).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.normal(size=(3, c, 47)).astype(np.float32))
+        assert jax.default_backend() == "cpu"  # "pallas" mode interprets on CPU
+        ref = bilstm(x, p, fused=False)
+        got = bilstm(x, p, fused="pallas")
+        assert float(jnp.abs(ref - got).max()) < 1e-5

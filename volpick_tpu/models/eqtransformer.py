@@ -289,10 +289,13 @@ class EQTransformer:
             fuse_lstm, decode_mode = False, "branch"
         else:
             parts = set(str(fused).split("+"))
-            unknown = parts - {"lstm", "grouped", "blockdiag", "bandattn", "polyup"}
+            unknown = parts - {"lstm", "plstm", "grouped", "blockdiag",
+                               "bandattn", "polyup"}
             if unknown:
                 raise ValueError(f"unknown fused flags: {sorted(unknown)}")
-            fuse_lstm = "lstm" in parts
+            # "plstm": the merged recurrences run as single Pallas kernels
+            # (ops/pallas/lstm.py) instead of lax.scan — implies "lstm"
+            fuse_lstm = "pallas" if "plstm" in parts else "lstm" in parts
             # "bandattn": pick-branch attention computes only its width-3
             # band (layers.seq_self_attention_banded) instead of the dense
             # masked T×T energies — O(eps) deviation, pinned by test
@@ -397,7 +400,15 @@ class EQTransformer:
             w_ih = jnp.stack([lp["w_ih"] for lp in params["pick_lstms"]])
             w_hh = jnp.stack([lp["w_hh"] for lp in params["pick_lstms"]])
             bias = jnp.stack([lp["b_ih"] + lp["b_hh"] for lp in params["pick_lstms"]])
-            px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
+            if fuse_lstm == "pallas":
+                from volpick_tpu.ops.pallas.lstm import lstm_multi_pallas
+
+                px = lstm_multi_pallas(
+                    xs, w_ih, w_hh, bias,
+                    interpret=jax.default_backend() != "tpu",
+                )  # (n_phase, B, 16, T)
+            else:
+                px = lstm_multi(xs, w_ih, w_hh, bias)  # (n_phase, B, 16, T)
             attn_p = jax.tree.map(lambda *a: jnp.stack(a), *params["pick_attentions"])
             if band_attn:
                 px = jax.vmap(

@@ -292,19 +292,29 @@ def lstm_multi(
     return hs.transpose(1, 2, 3, 0)  # (G, B, H, T)
 
 
-def bilstm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], fused: bool = False) -> jnp.ndarray:
+def bilstm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], fused=False) -> jnp.ndarray:
     """Bidirectional LSTM: concat forward and backward hidden states on channels.
 
     With ``fused=True`` both directions ride one lstm_multi scan (the reverse
     direction scans the time-flipped input and its outputs are flipped back) —
-    numerically the same recurrence, half the sequential scans.
+    numerically the same recurrence, half the sequential scans. With
+    ``fused="pallas"`` the merged recurrence runs as ONE Pallas kernel
+    (`ops.pallas.lstm.lstm_multi_pallas`) instead of a `lax.scan`.
     """
     if fused:
         xs = jnp.stack([x, x[..., ::-1]])
         w_ih = jnp.stack([p["w_ih"], p["w_ih_rev"]])
         w_hh = jnp.stack([p["w_hh"], p["w_hh_rev"]])
         bias = jnp.stack([p["b_ih"] + p["b_hh"], p["b_ih_rev"] + p["b_hh_rev"]])
-        hs = lstm_multi(xs, w_ih, w_hh, bias)
+        if fused == "pallas":
+            from volpick_tpu.ops.pallas.lstm import lstm_multi_pallas
+
+            hs = lstm_multi_pallas(
+                xs, w_ih, w_hh, bias,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            hs = lstm_multi(xs, w_ih, w_hh, bias)
         return jnp.concatenate([hs[0], hs[1][..., ::-1]], axis=1)
     fwd = lstm(x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
     bwd = lstm(x, p["w_ih_rev"], p["w_hh_rev"], p["b_ih_rev"], p["b_hh_rev"], reverse=True)
