@@ -19,6 +19,7 @@ compile must not take the other stages down):
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -685,7 +686,10 @@ def stage_classify_chunks(arch: str = "eqtransformer"):
     thr = tuple(0.3 for _ in picker._prob_channels())
     d, st = jnp.asarray(data), jnp.asarray(starts)
 
-    for chunk in (256, 512, 1024, 2048):
+    # tpupicknet's (B,H,T,T) score tensor makes big chunks HBM-hostile on
+    # the XLA attention path; sweep smaller chunks for it
+    chunks = (64, 128, 256, 512) if arch == "tpupicknet" else (256, 512, 1024, 2048)
+    for chunk in chunks:
         run = picker._fused_classify_fn(
             8, len(starts), total, (0, 0), "avg", thr, 64, chunk,
             stride=500,
@@ -716,6 +720,7 @@ def stage_classify_chunks(arch: str = "eqtransformer"):
         tb = min(t(lb) for _ in range(2))
         per_iter = max(tb - ta, 1e-9) / 20
         log({"stage": "classify_chunks", "model": arch,
+             "attn": os.environ.get("VOLPICK_TPN_ATTN", "xla") if arch == "tpupicknet" else None,
              "chunk": chunk, "n_windows_per_iter": 8 * len(starts),
              "ms_per_iter": round(per_iter * 1000, 2),
              "windows_per_s": round(8 * len(starts) / per_iter, 1)})

@@ -115,3 +115,42 @@ class TestLSTMKernel:
         ref = bilstm(x, p, fused=False)
         got = bilstm(x, p, fused="pallas")
         assert float(jnp.abs(ref - got).max()) < 1e-5
+
+
+class TestMHAKernel:
+    """ops/pallas/attention.py vs the jnp softmax-attention (interpreter mode)."""
+
+    def test_matches_xla_attention(self, rng):
+        import jax
+
+        from volpick_tpu.ops.pallas.attention import mha_pallas
+
+        b, n_heads, dh, t = 3, 4, 32, 94
+        d = n_heads * dh
+        q, k, v = (jnp.asarray(rng.normal(size=(b, d, t)).astype(np.float32))
+                   for _ in range(3))
+        # reference: per-head softmax(qᵀk)v on the same packed layout
+        qh = q.reshape(b, n_heads, dh, t)
+        kh = k.reshape(b, n_heads, dh, t)
+        vh = v.reshape(b, n_heads, dh, t)
+        s = jnp.einsum("bhdt,bhds->bhts", qh, kh)
+        p = jax.nn.softmax(s, axis=-1)
+        ref = jnp.einsum("bhts,bhds->bhdt", p, vh).reshape(b, d, t)
+        for block_b in (1, 2):  # 2 exercises the B-padding path (b=3)
+            got = mha_pallas(q, k, v, n_heads, block_b=block_b, interpret=True)
+            assert got.shape == ref.shape
+            assert float(jnp.abs(ref - got).max()) < 1e-5
+
+    def test_tpupicknet_pallas_attn_equals_xla(self, rng):
+        import jax
+
+        from volpick_tpu.models.tpupicknet import TPUPickNet
+
+        m = TPUPickNet()
+        params = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.normal(size=(2, 3, 3008)).astype(np.float32))
+        ref = m.apply(params, x, attn="xla")
+        got = m.apply(params, x, attn="pallas")
+        assert float(jnp.abs(ref - got).max()) < 1e-5
+        with pytest.raises(ValueError):
+            m.apply(params, x, attn="flash")

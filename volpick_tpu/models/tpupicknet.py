@@ -21,6 +21,7 @@ same config schema ("model": "TPUPickNet").
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import jax
@@ -110,8 +111,29 @@ class TPUPickNet:
         }
 
     # ---- forward --------------------------------------------------------------
-    def apply(self, params: Dict, x: jnp.ndarray, train: bool = False, logits: bool = False):
-        """x: (B, 3, in_samples) → (B, classes, in_samples) probabilities."""
+    def apply(
+        self,
+        params: Dict,
+        x: jnp.ndarray,
+        train: bool = False,
+        logits: bool = False,
+        attn: Optional[str] = None,
+    ):
+        """x: (B, 3, in_samples) → (B, classes, in_samples) probabilities.
+
+        `attn` selects the attention implementation: "xla" (einsum scores in
+        HBM) or "pallas" (ops/pallas/attention.py — one window's whole
+        attention fused in VMEM, no HBM score tensor). Default: the env knob
+        `VOLPICK_TPN_ATTN`, else "xla". Inference-only; train mode always
+        uses the XLA path (it is differentiable and the bound there is the
+        backward pass, not score traffic).
+        """
+        if attn is None:
+            attn = os.environ.get("VOLPICK_TPN_ATTN", "").strip().lower() or "xla"
+        if attn not in ("xla", "pallas"):
+            raise ValueError(f"unknown attn implementation: {attn!r}")
+        if train:
+            attn = "xla"
         b = x.shape[0]
         d = self.d_model
         s = self.patch_stride
@@ -132,9 +154,19 @@ class TPUPickNet:
             qkv = y @ blk["qkv"]["w"] + blk["qkv"]["b"]  # (B, T, 3D)
             qkv = qkv.reshape(b, t, 3, self.n_heads, d // self.n_heads)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, Dh)
-            att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
-            att = jax.nn.softmax(att, axis=-1)
-            y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, d)
+            if attn == "pallas":
+                from volpick_tpu.ops.pallas.attention import mha_pallas
+
+                # head-major packing (B, H·Dh, T); scale folded into q
+                to_pk = lambda a: a.transpose(0, 2, 3, 1).reshape(b, d, t)
+                y = mha_pallas(
+                    to_pk(q) * scale, to_pk(k), to_pk(v), self.n_heads,
+                    interpret=jax.default_backend() != "tpu",
+                ).transpose(0, 2, 1)  # (B, T, D), same h·Dh ordering
+            else:
+                att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, d)
             h = h + y @ blk["proj"]["w"] + blk["proj"]["b"]
             y = _layer_norm(h, blk["ln2"]["scale"], blk["ln2"]["bias"])
             y = jax.nn.gelu(y @ blk["mlp1"]["w"] + blk["mlp1"]["b"])
