@@ -256,22 +256,26 @@ class EQTransformer:
         if stop_after is not None and train:
             raise ValueError("stop_after is inference-only")
         if fused is None:
-            # Eval-mode default: per-branch (fused off), on two measurements
-            # (docs/TPU_PROBE.jsonl): end-to-end fused classify 86.0k
-            # windows/s merged vs 110k per-branch (docs/TRAINING.md speed
-            # leg, same stride-500 workload), and the quiet-chip
-            # "fused_forward" sweep — per-branch forward 149.2k windows/s
-            # at batch 256 vs lstm 146.6k / grouped 107.9k / blockdiag
-            # 100.5k fp32 (bf16 ranks the same) — the launch-count saving
-            # does not pay for the blockdiag decoder's padded-out FLOPs at
-            # these channel widths. Override per call or via
-            # VOLPICK_EQT_FUSED=(0|1|lstm|grouped|blockdiag|lstm+…) if a
-            # future chip/workload ranks differently.
+            # Eval-mode default: "plstm+bandattn", from the quiet-chip
+            # "fused_forward" sweep (docs/TPU_PROBE.jsonl, r4): per-branch
+            # 149.6k windows/s at batch 256 fp32; plstm+bandattn 164.8k
+            # (+10.2%) — the Pallas merged-recurrence kernel plus the banded
+            # pick attention. The per-stage split ("forward_stages") shows
+            # the decoders own 0.99 of the 1.68 ms and sit at the HBM/
+            # small-channel wall: every decoder-merging transform measured
+            # SLOWER (grouped 107.9k / blockdiag 100.5k / polyphase 124.7k),
+            # so decode stays per-branch. Override per call or via
+            # VOLPICK_EQT_FUSED=(0|1|lstm|plstm|grouped|blockdiag|bandattn|
+            # polyup|…+…) if a future chip/workload ranks differently.
             env = os.environ.get("VOLPICK_EQT_FUSED", "").strip().lower()
-            if env in ("", "0", "false", "off", "no"):
+            if env in ("0", "false", "off", "no"):
                 fused = False
-            elif env in ("1", "true", "on", "yes"):
-                fused = not train
+            elif env in ("", "1", "true", "on", "yes"):
+                # Pallas kernels only where they compile natively; on CPU
+                # (tests, interpret mode) the default stays pure-XLA
+                best = ("plstm+bandattn" if jax.default_backend() == "tpu"
+                        else "bandattn")
+                fused = best if not train else False
             else:
                 fused = env if not train else False
         if fused and train:
@@ -282,15 +286,15 @@ class EQTransformer:
         # merge the decoders (feature_group_count conv vs one dense conv with
         # block-diagonal weights — on TPU both land in one padded MXU tile,
         # but they lower differently). True = "lstm+blockdiag".
-        band_attn = poly_up = False
+        band_attn = poly_up = p_attn = False
         if fused is True:
-            fuse_lstm, decode_mode = True, "blockdiag"
-        elif not fused:
+            fused = "plstm+bandattn"  # the measured-best combo (see above)
+        if not fused:
             fuse_lstm, decode_mode = False, "branch"
         else:
             parts = set(str(fused).split("+"))
             unknown = parts - {"lstm", "plstm", "grouped", "blockdiag",
-                               "bandattn", "polyup"}
+                               "bandattn", "polyup", "pattn"}
             if unknown:
                 raise ValueError(f"unknown fused flags: {sorted(unknown)}")
             # "plstm": the merged recurrences run as single Pallas kernels
@@ -305,6 +309,9 @@ class EQTransformer:
             # FLOPs, no 2× intermediate in HBM; composes with grouped/
             # blockdiag merging
             poly_up = "polyup" in parts
+            # "pattn": the transformer blocks' dense additive attention as
+            # a VMEM Pallas kernel (ops/pallas/addattn.py)
+            p_attn = "pattn" in parts
             decode_mode = (
                 "grouped" if "grouped" in parts
                 else "blockdiag" if "blockdiag" in parts
@@ -360,7 +367,15 @@ class EQTransformer:
 
         # --- transformer blocks
         def transformer_block(h, p, path):
-            y, _ = seq_self_attention(h, p["attention"], eps=_ATTN_EPS)
+            if p_attn:
+                from volpick_tpu.ops.pallas.addattn import seq_self_attention_pallas
+
+                y = seq_self_attention_pallas(
+                    h, p["attention"], eps=_ATTN_EPS,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                y, _ = seq_self_attention(h, p["attention"], eps=_ATTN_EPS)
             y = h + y
             y = layer_norm_keras(y, p["norm1"]["gamma"], p["norm1"]["beta"], _LN_EPS)
             ht = y.transpose(0, 2, 1)
