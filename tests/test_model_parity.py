@@ -141,7 +141,8 @@ class TestEQTransformer:
                             "bandattn", "lstm+bandattn",
                             "polyup", "bandattn+polyup",
                             "lstm+grouped+polyup",
-                            "plstm", "plstm+bandattn+polyup"):
+                            "plstm", "plstm+bandattn+polyup",
+                            "pattn", "plstm+bandattn+pattn"):
                 got = model.apply(params, x, fused=variant)
                 assert len(ref) == len(got)
                 for r, g in zip(ref, got):

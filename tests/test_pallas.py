@@ -117,6 +117,53 @@ class TestLSTMKernel:
         assert float(jnp.abs(ref - got).max()) < 1e-5
 
 
+class TestAddAttnKernel:
+    """ops/pallas/addattn.py vs layers.seq_self_attention (interpreter mode)."""
+
+    def test_matches_dense_reference(self, rng):
+        from volpick_tpu.models.layers import seq_self_attention
+        from volpick_tpu.ops.pallas.addattn import seq_self_attention_pallas
+
+        b, c, t, u = 3, 16, 47, 32
+        x = jnp.asarray(rng.normal(size=(b, c, t)).astype(np.float32))
+        p = {
+            "Wt": jnp.asarray(rng.normal(size=(c, u)).astype(np.float32) * 0.3),
+            "Wx": jnp.asarray(rng.normal(size=(c, u)).astype(np.float32) * 0.3),
+            "bh": jnp.asarray(rng.normal(size=(u,)).astype(np.float32) * 0.1),
+            "Wa": jnp.asarray(rng.normal(size=(u, 1)).astype(np.float32) * 0.3),
+            # nonzero ba exercises the kernel's ba-omission argument: a
+            # constant energy shift must cancel exactly under the
+            # max-subtracted softmax (addattn.py NOTE)
+            "ba": jnp.asarray(np.array([0.7], dtype=np.float32)),
+        }
+        ref = np.asarray(seq_self_attention(x, p)[0])
+        for block_b in (1, 2):  # 2 exercises the B-padding path (b=3)
+            got = np.asarray(
+                seq_self_attention_pallas(x, p, block_b=block_b, interpret=True)
+            )
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_published_weights(self, rng):
+        import os
+
+        pt = "/root/reference/Final_models/volpick/eqtransformer/volpick.pt.v1"
+        if not os.path.exists(pt):
+            pytest.skip("published weights unavailable")
+        import jax
+        from volpick_tpu.models.layers import seq_self_attention
+        from volpick_tpu.models.torch_import import import_eqtransformer
+        from volpick_tpu.ops.pallas.addattn import seq_self_attention_pallas
+
+        params = jax.tree_util.tree_map(jnp.asarray, import_eqtransformer(pt))
+        x = jnp.asarray(rng.normal(size=(4, 16, 47)).astype(np.float32))
+        for blk in ("transformer_d0", "transformer_d"):
+            p = params[blk]["attention"]
+            ref = np.asarray(seq_self_attention(x, p)[0])
+            got = np.asarray(seq_self_attention_pallas(x, p, interpret=True))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 class TestMHAKernel:
     """ops/pallas/attention.py vs the jnp softmax-attention (interpreter mode)."""
 

@@ -48,7 +48,7 @@ def _kernel(q_ref, k_ref, x_ref, wa_ref, o_ref, *, eps: float):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "block_b", "interpret"))
 def seq_self_attention_pallas(
     x: jnp.ndarray,
     p,
