@@ -255,3 +255,70 @@ class TestSegmentedClassify:
             f_pk = np.sort(full[label][0][0][full[label][2][0]])
             s_pk = np.sort(seg[label][0][0][seg[label][2][0]])
             np.testing.assert_array_equal(f_pk, s_pk)
+
+
+class TestPerArchBatchSizeDefault:
+    """batch_size=None resolves to the measured per-architecture forward-chunk
+    optimum (docs/TPU_PROBE.jsonl "classify_chunks": TPUPickNet 64, others
+    256); an explicit value always wins."""
+
+    def _capture_chunk(self, picker, batch_size):
+        import jax.numpy as jnp
+
+        captured = {}
+        orig = picker._fused_classify_fn
+
+        def spy(s, n_win, total, blinding, stacking, thr, max_picks, chunk, **kw):
+            captured["chunk"] = chunk
+            return orig(s, n_win, total, blinding, stacking, thr, max_picks, chunk, **kw)
+
+        picker._fused_classify_fn = spy
+        try:
+            picker.classify_arrays(
+                np.zeros((1, 3, 4000), np.float32) if picker.in_samples <= 3008
+                else np.zeros((1, 3, 7000), np.float32),
+                {"P": 0.5, "S": 0.5, "N": 2.0, "Detection": 0.5,
+                 "Detection_rg": 0.5, "Detection_lp": 0.5},
+                batch_size=batch_size,
+            )
+        finally:
+            picker._fused_classify_fn = orig
+        return captured["chunk"]
+
+    def test_defaults_and_override(self, rng):
+        import jax
+        from volpick_tpu.models import PhaseNet, TPUPickNet
+        from volpick_tpu.picker import WaveformPicker
+
+        pn = PhaseNet()
+        tpn = TPUPickNet()
+        p_pn = WaveformPicker(pn, pn.init(jax.random.PRNGKey(0)))
+        p_tpn = WaveformPicker(tpn, tpn.init(jax.random.PRNGKey(0)))
+        assert p_pn._default_batch_size() == 256
+        assert p_tpn._default_batch_size() == 64
+        assert self._capture_chunk(p_pn, None) == 256
+        assert self._capture_chunk(p_tpn, None) == 64
+        assert self._capture_chunk(p_tpn, 128) == 128
+
+
+class TestTPNAttnDefault:
+    def test_cpu_default_is_xla_and_env_wins(self, rng, monkeypatch):
+        """On a CPU backend the default stays the XLA path (no interpret-mode
+        cost in tests); VOLPICK_TPN_ATTN overrides; unknown values raise."""
+        import jax
+        import jax.numpy as jnp
+        from volpick_tpu.models import TPUPickNet
+
+        assert jax.default_backend() == "cpu"
+        m = TPUPickNet()
+        params = m.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 3, m.in_samples), jnp.float32)
+        ref = m.apply(params, x, attn="xla")
+        monkeypatch.delenv("VOLPICK_TPN_ATTN", raising=False)
+        np.testing.assert_array_equal(np.asarray(m.apply(params, x)), np.asarray(ref))
+        monkeypatch.setenv("VOLPICK_TPN_ATTN", "pallas")
+        got = m.apply(params, x)  # interpret-mode pallas on CPU
+        assert float(np.abs(np.asarray(got) - np.asarray(ref)).max()) < 1e-5
+        monkeypatch.setenv("VOLPICK_TPN_ATTN", "flash")
+        with pytest.raises(ValueError):
+            m.apply(params, x)

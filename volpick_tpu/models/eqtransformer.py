@@ -264,7 +264,13 @@ class EQTransformer:
             # the decoders own 0.99 of the 1.68 ms and sit at the HBM/
             # small-channel wall: every decoder-merging transform measured
             # SLOWER (grouped 107.9k / blockdiag 100.5k / polyphase 124.7k),
-            # so decode stays per-branch. Override per call or via
+            # so decode stays per-branch. The transformer blocks' dense
+            # additive attention is VPU-tanh-bound (B·T²·U ≈ 36M tanh per
+            # batch-256 call ≈ its whole 0.32 ms stage cost); the "pattn"
+            # VMEM kernel measured SLOWER too (plstm+bandattn+pattn 122.1k
+            # vs 158.1k without, same sweep) — a kernel can lower launch and
+            # HBM overheads but not the tanh count, and the XLA lowering
+            # already hides the rest. Override per call or via
             # VOLPICK_EQT_FUSED=(0|1|lstm|plstm|grouped|blockdiag|bandattn|
             # polyup|…+…) if a future chip/workload ranks differently.
             env = os.environ.get("VOLPICK_EQT_FUSED", "").strip().lower()

@@ -124,12 +124,18 @@ class TPUPickNet:
         `attn` selects the attention implementation: "xla" (einsum scores in
         HBM) or "pallas" (ops/pallas/attention.py — one window's whole
         attention fused in VMEM, no HBM score tensor). Default: the env knob
-        `VOLPICK_TPN_ATTN`, else "xla". Inference-only; train mode always
-        uses the XLA path (it is differentiable and the bound there is the
-        backward pass, not score traffic).
+        `VOLPICK_TPN_ATTN`, else "pallas" on a TPU backend ("classify_chunks"
+        sweep, docs/TPU_PROBE.jsonl r4: fused classify 36.8k vs 18.3k
+        windows/s at the per-chunk optimum — the VMEM kernel doubles the
+        end-to-end rate) and "xla" elsewhere (CPU tests would pay interpret
+        mode; equality is pinned by tests/test_pallas.py). Inference-only;
+        train mode always uses the XLA path (it is differentiable and the
+        bound there is the backward pass, not score traffic).
         """
         if attn is None:
-            attn = os.environ.get("VOLPICK_TPN_ATTN", "").strip().lower() or "xla"
+            attn = os.environ.get("VOLPICK_TPN_ATTN", "").strip().lower() or (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
         if attn not in ("xla", "pallas"):
             raise ValueError(f"unknown attn implementation: {attn!r}")
         if train:

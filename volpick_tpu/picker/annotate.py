@@ -94,6 +94,15 @@ class WaveformPicker:
             return ["Detection", "P", "S"]
         return list(self.model.phases)  # e.g. P, S, N
 
+    def _default_batch_size(self) -> int:
+        """Per-architecture forward-chunk optimum for the fused scan
+        ("classify_chunks" sweeps, docs/TPU_PROBE.jsonl): EQTransformer
+        109.1k windows/s at 256 (98.7k at 512), TPUPickNet 36.8k at 64
+        vs 27.0k at 256 (whole-window attention scales quadratically with
+        chunked sequence count, so smaller forwards pipeline better).
+        An explicit `batch_size` always wins."""
+        return 64 if self.model.name == "TPUPickNet" else 256
+
     def _apply_model(self, params, frames: jnp.ndarray) -> jnp.ndarray:
         """Conditioned (N, C, window) windows → (N, K, window) float32 probs,
         at the configured precision (trace-time; cast fuses into the graph)."""
@@ -368,7 +377,7 @@ class WaveformPicker:
         overlap: Optional[int] = None,
         blinding: Tuple[int, int] = (0, 0),
         stacking: str = "avg",
-        batch_size: int = 256,
+        batch_size: Optional[int] = None,
         max_picks: Optional[int] = None,
         max_span: int = 500_000,
     ) -> Dict[str, tuple]:
@@ -387,6 +396,8 @@ class WaveformPicker:
         full-stream pass while bounding device memory and compile size
         (a day of 100 Hz data is ~8.6M samples)."""
         s, c, total = data.shape
+        if batch_size is None:
+            batch_size = self._default_batch_size()
         window = self.in_samples
         if overlap is None:
             overlap = window // 2
@@ -475,7 +486,7 @@ class WaveformPicker:
         overlap: Optional[int] = None,
         blinding: Tuple[int, int] = (0, 0),
         stacking: str = "avg",
-        batch_size: int = 256,
+        batch_size: Optional[int] = None,
     ) -> np.ndarray:
         """Continuous probability curves for raw arrays.
 
@@ -486,6 +497,8 @@ class WaveformPicker:
         (`_curves_body`), so the two surfaces cannot drift apart.
         """
         s, c, total = data.shape
+        if batch_size is None:
+            batch_size = self._default_batch_size()
         window = self.in_samples
         if overlap is None:
             overlap = window // 2
@@ -539,7 +552,7 @@ class WaveformPicker:
         overlap: Optional[int] = None,
         blinding: Tuple[int, int] = (0, 0),
         stacking: str = "avg",
-        batch_size: int = 256,
+        batch_size: Optional[int] = None,
     ) -> Stream:
         """Probability-curve Stream for each instrument group.
 
@@ -586,7 +599,7 @@ class WaveformPicker:
         overlap: Optional[int] = None,
         blinding: Tuple[int, int] = (0, 0),
         stacking: str = "avg",
-        batch_size: int = 256,
+        batch_size: Optional[int] = None,
     ) -> ClassifyOutput:
         """Pick (and detect) on a continuous Stream.
 
