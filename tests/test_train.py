@@ -190,6 +190,42 @@ class TestTraining:
         assert raw["best_monitor"] is not None and math.isfinite(raw["best_monitor"])
         assert int(raw["epoch"]) == 4
 
+    def test_save_top_k_holds_across_resume(self, tmp_path):
+        """A resumed run must not leak the pre-resume best checkpoint:
+        save_top_k=1 means exactly one `epoch=*-step=*.ckpt` (+EMA pair)
+        on disk at all times (reference `volpick/model/ema.py:421-541`
+        ModelCheckpoint semantics; VERDICT r4 weak #6)."""
+        from volpick_tpu.train.checkpoints import CheckpointManager
+
+        d = tmp_path / "checkpoints"
+        state = {"params": {"w": jnp.zeros(2)}, "ema_params": {"w": jnp.ones(2)}}
+
+        first = CheckpointManager(d, monitor="val_loss", save_ema=True)
+        first.update(state, {"val_loss": 1.0}, epoch=0, step=10)
+        first.update(state, {"val_loss": 0.5}, epoch=1, step=20)
+        assert sorted(p.name for p in d.glob("epoch=*.ckpt")) == [
+            "epoch=1-step=20-EMA.ckpt",
+            "epoch=1-step=20.ckpt",
+        ]
+
+        # simulate a restart: a fresh manager over the same directory
+        second = CheckpointManager(d, monitor="val_loss", save_ema=True)
+        second.best = 0.5  # trainer re-seeds `best` from best_monitor
+        assert second.best_path == d / "epoch=1-step=20.ckpt"
+        second.update(state, {"val_loss": 0.6}, epoch=2, step=30)  # not better
+        second.update(state, {"val_loss": 0.25}, epoch=3, step=40)
+        kept = sorted(p.name for p in d.glob("epoch=*.ckpt"))
+        assert kept == ["epoch=3-step=40-EMA.ckpt", "epoch=3-step=40.ckpt"]
+
+        # a directory already holding several stale bests is also healed
+        (d / "epoch=0-step=5.ckpt").write_bytes(b"stale")
+        (d / "epoch=0-step=5-EMA.ckpt").write_bytes(b"stale")
+        third = CheckpointManager(d, monitor="val_loss", save_ema=True)
+        third.best = 0.25
+        third.update(state, {"val_loss": 0.1}, epoch=4, step=50)
+        kept = sorted(p.name for p in d.glob("epoch=*.ckpt"))
+        assert kept == ["epoch=4-step=50-EMA.ckpt", "epoch=4-step=50.ckpt"]
+
     def test_checkpoint_roundtrip(self, synth_path, tmp_path):
         from volpick_tpu.train.checkpoints import load_checkpoint, save_checkpoint
         from volpick_tpu.models import PhaseNet

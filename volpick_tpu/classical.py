@@ -1,11 +1,13 @@
 """Classical phase pickers: Baer-Kradolfer and AR-AIC.
 
 The reference uses obspy's implementations as sanity baselines, tuned by
-Bayesian optimization (reference `model_training/tune_pk_baer.py`,
-`model_training/test_ar_picker.py`). These are clean-room implementations of
+Bayesian optimization (reference `model_training/tune_pk_baer.py:51-56,197-201`
+uses `bayes_opt.BayesianOptimization` — a GP surrogate with an acquisition
+function over the parameter bounds). These are clean-room implementations of
 the published algorithms (Baer & Kradolfer 1987; Akazawa 2004-style AR-AIC),
-vectorized in numpy, plus a random-search tuner standing in for the
-reference's scikit-optimize loop.
+vectorized in numpy, plus `gp_maximize` — a self-contained GP/expected-
+improvement optimizer filling the `BayesianOptimization`/`gp_minimize` role
+(no scikit-optimize in this environment) — driving `tune_picker`.
 """
 
 from __future__ import annotations
@@ -181,6 +183,120 @@ def ar_aic_pick(
     return p_pick, s_pick
 
 
+def _matern52(r2: np.ndarray) -> np.ndarray:
+    """Matérn 5/2 kernel on squared distances (skopt's gp_minimize default)."""
+    r = np.sqrt(np.maximum(r2, 0.0))
+    sr = np.sqrt(5.0) * r
+    return (1.0 + sr + 5.0 * r2 / 3.0) * np.exp(-sr)
+
+
+def _gp_posterior(X: np.ndarray, y: np.ndarray, Xq: np.ndarray, length_scale: float, noise: float):
+    """GP regression posterior mean/std at Xq. X/Xq in the unit cube,
+    y standardized by the caller. O(n³) in trials — fine for n ≲ 200."""
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1) / length_scale**2
+    K = _matern52(d2) + noise * np.eye(len(X))
+    d2q = ((Xq[:, None, :] - X[None, :, :]) ** 2).sum(-1) / length_scale**2
+    Kq = _matern52(d2q)
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    mu = Kq @ alpha
+    v = np.linalg.solve(L, Kq.T)
+    var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+    return mu, np.sqrt(var)
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    from scipy.special import erf
+
+    return 0.5 * (1.0 + erf(z / np.sqrt(2.0)))
+
+
+def gp_maximize(
+    fn,
+    bounds: Dict[str, Tuple[float, float]],
+    n_trials: int = 50,
+    n_init: Optional[int] = None,
+    seed: int = 0,
+    length_scale: float = 0.25,
+    noise: float = 1e-4,
+    n_candidates: int = 2048,
+) -> Dict:
+    """Maximize `fn(**params)` under box bounds with a GP surrogate +
+    expected-improvement acquisition — the role `bayes_opt.BayesianOptimization`
+    plays in the reference tuner (`model_training/tune_pk_baer.py:51,197-201`).
+
+    n_init quasi-random probes seed the GP; each subsequent trial evaluates
+    the EI-argmax over `n_candidates` uniform draws plus local perturbations
+    of the incumbent. Returns {"target", "params", "history"}.
+    """
+    rng = np.random.default_rng(seed)
+    names = list(bounds)
+    lo = np.array([bounds[k][0] for k in names], float)
+    hi = np.array([bounds[k][1] for k in names], float)
+    ndim = len(names)
+    if n_init is None:
+        n_init = max(2 * ndim, min(10, n_trials // 3))
+    n_init = min(n_init, n_trials)
+
+    X: list = []  # unit-cube coordinates
+    y: list = []
+
+    def evaluate(u: np.ndarray) -> float:
+        params = {k: float(v) for k, v in zip(names, lo + u * (hi - lo))}
+        t = float(fn(**params))
+        X.append(u)
+        y.append(t)
+        return t
+
+    # stratified (latin-hypercube) initialization
+    strata = (rng.permuted(np.tile(np.arange(n_init), (ndim, 1)), axis=1).T + rng.random((n_init, ndim))) / n_init
+    for u in strata:
+        evaluate(u)
+
+    for _ in range(n_trials - n_init):
+        Xa = np.asarray(X)
+        ya = np.asarray(y)
+        mu0, sd0 = float(ya.mean()), float(ya.std()) + 1e-12
+        ystd = (ya - mu0) / sd0
+        best = ystd.max()
+        cand = rng.random((n_candidates, ndim))
+        # local refinement around the incumbent at three radii
+        inc = Xa[int(np.argmax(ya))]
+        for radius in (0.02, 0.05, 0.15):
+            local = np.clip(inc + rng.normal(0, radius, (n_candidates // 8, ndim)), 0, 1)
+            cand = np.concatenate([cand, local])
+        mu, sd = _gp_posterior(Xa, ystd, cand, length_scale, noise)
+        z = (mu - best) / sd
+        ei = sd * (z * _norm_cdf(z) + np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi))
+        evaluate(cand[int(np.argmax(ei))])
+
+    ya = np.asarray(y)
+    k = int(np.argmax(ya))
+    return {
+        "target": float(ya[k]),
+        "params": {n: float(v) for n, v in zip(names, lo + np.asarray(X)[k] * (hi - lo))},
+        "history": [float(v) for v in ya],
+    }
+
+
+def _pick_f1(pick_fn, params, traces, true_onsets, sampling_rate, tolerance) -> float:
+    tp = fp = fn = 0
+    for tr, onset in zip(traces, true_onsets):
+        res = pick_fn(tr, sampling_rate, **params)
+        pick = res[0] if isinstance(res, tuple) else res
+        if pick is None:
+            if not np.isnan(onset):
+                fn += 1
+        elif np.isnan(onset):
+            fp += 1
+        elif abs(pick - onset) / sampling_rate <= tolerance:
+            tp += 1
+        else:
+            fp += 1
+            fn += 1
+    return 2 * tp / max(2 * tp + fp + fn, 1)
+
+
 def tune_picker(
     pick_fn,
     param_space: Dict[str, Tuple[float, float]],
@@ -190,28 +306,30 @@ def tune_picker(
     n_trials: int = 50,
     tolerance: float = 0.5,
     seed: int = 0,
+    method: str = "gp",
 ) -> Dict:
-    """Random-search tuning (stand-in for the reference's gp_minimize loop):
-    maximizes F1 of |pick − truth| ≤ tolerance over labeled traces."""
+    """Tune a picker's parameters to maximize F1 of |pick − truth| ≤ tolerance
+    over labeled traces. `method="gp"` (default) runs the GP/EI surrogate loop
+    matching the reference's Bayesian tuning (`tune_pk_baer.py:197-201`);
+    `method="random"` keeps the old random search as a comparison baseline."""
+    if method == "gp":
+        res = gp_maximize(
+            lambda **params: _pick_f1(pick_fn, params, traces, true_onsets, sampling_rate, tolerance),
+            param_space,
+            n_trials=n_trials,
+            seed=seed,
+        )
+        return {"f1": res["target"], "params": res["params"], "history": res["history"]}
+    if method != "random":
+        raise ValueError(f"unknown tuning method: {method!r}")
     rng = np.random.default_rng(seed)
     best = {"f1": -1.0, "params": None}
+    history = []
     for _ in range(n_trials):
         params = {k: float(rng.uniform(*v)) for k, v in param_space.items()}
-        tp = fp = fn = 0
-        for tr, onset in zip(traces, true_onsets):
-            res = pick_fn(tr, sampling_rate, **params)
-            pick = res[0] if isinstance(res, tuple) else res
-            if pick is None:
-                if not np.isnan(onset):
-                    fn += 1
-            elif np.isnan(onset):
-                fp += 1
-            elif abs(pick - onset) / sampling_rate <= tolerance:
-                tp += 1
-            else:
-                fp += 1
-                fn += 1
-        f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+        f1 = _pick_f1(pick_fn, params, traces, true_onsets, sampling_rate, tolerance)
+        history.append(f1)
         if f1 > best["f1"]:
             best = {"f1": f1, "params": params}
+    best["history"] = history
     return best

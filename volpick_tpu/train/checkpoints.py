@@ -53,7 +53,17 @@ class CheckpointManager:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.best = math.inf
-        self.best_path: Optional[Path] = None
+        # Adopt a pre-existing best checkpoint (resumed run in the same
+        # experiment dir) so save_top_k=1 holds across resumes: the stale best
+        # is unlinked when a new best is written instead of leaking forever.
+        existing = [
+            c
+            for c in self.dir.glob("epoch=*-step=*.ckpt")
+            if not c.stem.endswith("-EMA") and _ckpt_epoch_step(c) is not None
+        ]
+        self.best_path: Optional[Path] = (
+            max(existing, key=_ckpt_epoch_step) if existing else None
+        )
         self.save_ema = save_ema
 
     def _write(self, tag: str, state: Dict, epoch: int, step: int):
@@ -75,13 +85,17 @@ class CheckpointManager:
         state = dict(state, best_monitor=None if math.isinf(self.best) else self.best)
         self._write("last", state, epoch, step)
         if improved:
-            if self.best_path and self.best_path.exists():
-                self.best_path.unlink()
-            if self.best_path and self.save_ema:
-                ema = self.best_path.with_name(self.best_path.stem + "-EMA.ckpt")
-                if ema.exists():
-                    ema.unlink()
-            self.best_path = self._write(f"epoch={epoch}-step={step}", state, epoch, step)
+            new_best = self._write(f"epoch={epoch}-step={step}", state, epoch, step)
+            # unlink EVERY other epoch=*-step=* checkpoint (+EMA pair), not
+            # just self.best_path: restores the save_top_k=1 on-disk invariant
+            # even for directories left with several stale bests by resumes
+            for stale in self.dir.glob("epoch=*-step=*.ckpt"):
+                if stale.stem.endswith("-EMA"):
+                    continue
+                if stale != new_best and _ckpt_epoch_step(stale) is not None:
+                    stale.unlink(missing_ok=True)
+                    stale.with_name(stale.stem + "-EMA.ckpt").unlink(missing_ok=True)
+            self.best_path = new_best
         return self.best_path
 
 
