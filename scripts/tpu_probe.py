@@ -656,7 +656,7 @@ def _train_one_model(model_cls):
          "samples_per_s_per_chip": round(B / per_step, 1)})
 
 
-def stage_classify_chunks(arch: str = "eqtransformer"):
+def stage_classify_chunks(arch: str = "eqtransformer", precision: str = "float32"):
     """Chunk-size sweep for the fused classify: the one-scan program runs
     ceil(n_win/wpc) sequential steps, each a (chunk)-window forward, so a
     bigger chunk amortizes the sequential scan latency until VMEM/HBM
@@ -682,7 +682,7 @@ def stage_classify_chunks(arch: str = "eqtransformer"):
     data = rng.normal(size=(8, 3, 120000)).astype(np.float32)
     total = data.shape[-1]
     starts = window_starts(total, window, window - 500)
-    picker = WaveformPicker(model, params)
+    picker = WaveformPicker(model, params, precision=precision)
     thr = tuple(0.3 for _ in picker._prob_channels())
     d, st = jnp.asarray(data), jnp.asarray(starts)
 
@@ -720,7 +720,8 @@ def stage_classify_chunks(arch: str = "eqtransformer"):
         tb = min(t(lb) for _ in range(2))
         per_iter = max(tb - ta, 1e-9) / 20
         log({"stage": "classify_chunks", "model": arch,
-             "attn": os.environ.get("VOLPICK_TPN_ATTN", "xla") if arch == "tpupicknet" else None,
+             "attn": getattr(model, "attn", None),  # resolved, not the env default
+             "precision": precision,
              "chunk": chunk, "n_windows_per_iter": 8 * len(starts),
              "ms_per_iter": round(per_iter * 1000, 2),
              "windows_per_s": round(8 * len(starts) / per_iter, 1)})
@@ -1087,6 +1088,8 @@ def main():
                          "fp32 only when set")
     ap.add_argument("--train-e2e", action="store_true")
     ap.add_argument("--classify-chunks", action="store_true")
+    ap.add_argument("--precision", default="float32",
+                    help="picker precision for --classify-chunks (float32|bfloat16)")
     ap.add_argument("--arch", default="eqtransformer",
                     help="architecture for --classify-chunks")
     args = ap.parse_args()
@@ -1132,7 +1135,7 @@ def main():
     elif args.train_e2e:
         stage_train_e2e()
     elif args.classify_chunks:
-        stage_classify_chunks(args.arch)
+        stage_classify_chunks(args.arch, args.precision)
     else:
         stage_conditioning()
 

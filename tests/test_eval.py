@@ -93,6 +93,30 @@ class TestCounting:
         res = compute_residuals(truth, pred, 100.0)
         np.testing.assert_allclose(sorted(res), [-0.5, -0.05, 0.1])
 
+    def test_bootstrap_f1_ci(self):
+        from volpick_tpu.eval.task0 import bootstrap_f1
+
+        rng = np.random.default_rng(0)
+        n = 400
+        truth, pred = [], []
+        for i in range(n):
+            t = float(rng.uniform(100, 900))
+            truth.append(np.array([t]))
+            # 80% of traces picked within tolerance, 20% missed
+            pred.append(np.array([t + rng.normal(0, 5)]) if rng.random() < 0.8 else np.array([]))
+        res = bootstrap_f1(truth, pred, n_boot=500, seed=1)
+        assert res["n"] == n
+        # point estimate inside its own CI, CI inside [0, 1] and nondegenerate
+        assert 0.0 < res["lo"] <= res["f1"] <= res["hi"] < 1.0
+        # the expected F1 of an 80%-recall/100%-precision picker is ~0.89
+        assert res["lo"] < 2 * 0.8 / 1.8 < res["hi"]
+        # CI width shrinks roughly as 1/sqrt(n): a 4x smaller sample is wider
+        res_small = bootstrap_f1(truth[:100], pred[:100], n_boot=500, seed=1)
+        assert (res_small["hi"] - res_small["lo"]) > (res["hi"] - res["lo"])
+        # deterministic under a fixed seed
+        res2 = bootstrap_f1(truth, pred, n_boot=500, seed=1)
+        assert res2 == res
+
 
 @needs_weights
 class TestEndToEnd:

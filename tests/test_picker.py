@@ -291,11 +291,17 @@ class TestPerArchBatchSizeDefault:
         from volpick_tpu.picker import WaveformPicker
 
         pn = PhaseNet()
-        tpn = TPUPickNet()
+        # the chunk optimum is a model-level ATTRIBUTE (ADVICE r4: dispatching
+        # on the display-name string silently missed subclassed/renamed
+        # variants) — a model declaring a non-default value wins, and an
+        # explicit batch_size overrides everything
+        tpn = TPUPickNet(default_classify_batch=64)
         p_pn = WaveformPicker(pn, pn.init(jax.random.PRNGKey(0)))
         p_tpn = WaveformPicker(tpn, tpn.init(jax.random.PRNGKey(0)))
         assert p_pn._default_batch_size() == 256
         assert p_tpn._default_batch_size() == 64
+        # v2's measured optimum is its declared default (chunk 128)
+        assert WaveformPicker(TPUPickNet(), None)._default_batch_size() == 128
         assert self._capture_chunk(p_pn, None) == 256
         assert self._capture_chunk(p_tpn, None) == 64
         assert self._capture_chunk(p_tpn, 128) == 128
@@ -322,3 +328,29 @@ class TestTPNAttnDefault:
         monkeypatch.setenv("VOLPICK_TPN_ATTN", "flash")
         with pytest.raises(ValueError):
             m.apply(params, x)
+
+    def test_picker_freezes_attn_at_construction(self, rng, monkeypatch):
+        """WaveformPicker resolves the attention implementation ONCE at
+        construction (ADVICE r4: compiled programs are cached per picker, so
+        a later env-var change must not disagree with the cached executable),
+        and a mesh-sharded picker pins the XLA path (pallas_call partitioning
+        under sharded inference is unverified)."""
+        import jax
+        from jax.sharding import Mesh
+        from volpick_tpu.models import TPUPickNet
+        from volpick_tpu.picker import WaveformPicker
+
+        monkeypatch.delenv("VOLPICK_TPN_ATTN", raising=False)
+        m = TPUPickNet(n_layers=1)
+        params = m.init(jax.random.PRNGKey(0))
+        picker = WaveformPicker(m, params)
+        assert m.attn in ("xla", "pallas")
+        frozen = m.attn
+        monkeypatch.setenv("VOLPICK_TPN_ATTN", "pallas" if frozen == "xla" else "xla")
+        assert m.resolve_attn() == frozen  # explicit field beats the env var
+
+        m2 = TPUPickNet(n_layers=1)
+        monkeypatch.delenv("VOLPICK_TPN_ATTN", raising=False)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        WaveformPicker(m2, params, mesh=mesh)
+        assert m2.attn == "xla"

@@ -2,20 +2,27 @@
 
 PhaseNet (8-128 channels) and EQTransformer (8-64 channels) under-fill the
 TPU's 128×128 MXU by design — they were sized for 2019-era GPUs. TPUPickNet
-is a picker built for the MXU:
+is a picker built for the MXU, v2 of the design:
 
-- patch embedding: strided conv to 128 channels at 1/8 resolution
-  (3008 → 376 tokens), all matmul dims multiples of 128;
+- a strided conv encoder 3008 → 94 tokens at d=128 (five stride-2 stages,
+  all the wide matmuls MXU-shaped);
 - a stack of pre-norm transformer blocks (multi-head attention d=128,
-  heads=4, MLP 128→512→128) over the token sequence — long-range context
-  like EQT's transformer but with MXU-shaped matmuls instead of 16-wide
-  additive attention;
-- a light transposed-conv decoder back to full resolution;
+  heads=4, MLP 128→512→128) over the POOLED 94-token sequence — long-range
+  context like EQT's transformer, which also attends only after pooling
+  (47 steps at 6000 samples, reference `models.py:650` + sbm.EQTransformer);
+  v1 attended over 376 tokens and its O(T²) scores capped fused classify at
+  36.8k windows/s (13× behind PhaseNet, VERDICT r4 weak #3) — at T=94 the
+  attention is ~2% of the FLOPs;
+- a polyphase nearest-upsample decoder (ops in layers.upsample2_conv1d_same,
+  half the conv FLOPs, no 2× HBM intermediates) with additive encoder skips
+  at every resolution, so onset sharpness comes from the high-res conv
+  features rather than from token resolution;
 - P/S/N softmax output, PhaseNet-compatible losses/labels/picking, so the
   whole training/eval/classify stack works unchanged.
 
-~1.8M params — still small, but each matmul tile is full. Trains with the
-same config schema ("model": "TPUPickNet").
+~1.1M params, ~3.0e8 FLOPs/window — 3.4× less compute than v1 per window
+with MORE high-resolution capacity (skips). Trains with the same config
+schema ("model": "TPUPickNet").
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from volpick_tpu.models.layers import conv1d, conv1d_same, conv_transpose1d, layer_norm_keras
+from volpick_tpu.models.layers import conv1d, conv1d_same, upsample2_conv1d_same
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -41,7 +48,7 @@ def _layer_norm(x, scale, bias, eps=1e-6):
 @dataclasses.dataclass
 class TPUPickNet:
     in_channels: int = 3
-    in_samples: int = 3008  # divisible by the 8× patch stride
+    in_samples: int = 3008  # divisible by the 32× total pooling
     classes: int = 3
     phases: str = "PSN"
     norm: str = "peak"
@@ -50,10 +57,27 @@ class TPUPickNet:
     n_heads: int = 4
     n_layers: int = 4
     mlp_ratio: int = 4
-    patch_stride: int = 8
+    patch_stride: int = 32  # total encoder pooling (five stride-2 stages)
     component_order: str = "ZNE"
     default_args: dict = dataclasses.field(default_factory=dict)
     name: str = "TPUPickNet"
+    # attention implementation: "xla" | "pallas" | None (resolve from the
+    # VOLPICK_TPN_ATTN env var / backend at first apply). WaveformPicker
+    # freezes this at construction via resolve_attn() so a changed env var
+    # can never silently disagree with an already-compiled executable.
+    attn: Optional[str] = None
+    # per-architecture fused-classify forward-chunk optimum, consumed by
+    # WaveformPicker._default_batch_size (dispatch on the model attribute,
+    # not the display name). v2 measured optimum: chunk 128 at 128.7k
+    # windows/s fp32 vs 100.5k/89.9k at 64/256 ("classify_chunks" sweep,
+    # docs/TPU_PROBE.jsonl r5)
+    default_classify_batch: int = 128
+
+    # encoder channel plan: five stride-2 conv stages to d_model
+    @property
+    def _enc_channels(self):
+        d = self.d_model
+        return (d // 4, d // 2, d, d, d)  # 32, 64, 128, 128, 128
 
     @property
     def labels(self) -> str:
@@ -62,6 +86,26 @@ class TPUPickNet:
     @property
     def n_tokens(self) -> int:
         return self.in_samples // self.patch_stride
+
+    def resolve_attn(self, sharded: bool = False) -> str:
+        """Resolve the attention implementation once (picker-construction
+        time). Order: explicit field > env knob > "xla".
+
+        The default is "xla" on every backend: at v2's pooled T=94 the
+        attention is ~2% of the FLOPs and the VMEM kernel's launch/fusion-
+        boundary cost outweighs its HBM saving — fused classify measured
+        128.7k windows/s (xla) vs 88.9k (pallas) at the chunk-128 optimum
+        ("classify_chunks" sweeps, docs/TPU_PROBE.jsonl r5; the kernel won
+        2x on v1's T=376, where the score tensor dominated HBM traffic).
+        `sharded` is kept for explicitness: pallas under a mesh-sharded
+        program is additionally unverified (ADVICE r4), so only an explicit
+        field request can select it there."""
+        if self.attn is not None:
+            return self.attn
+        env = os.environ.get("VOLPICK_TPN_ATTN", "").strip().lower()
+        if env and not sharded:
+            return env
+        return "xla"
 
     # ---- parameters ----------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
@@ -97,17 +141,29 @@ class TPUPickNet:
                     "mlp2": dense(self.mlp_ratio * d, d, scale=float(np.sqrt(1.0 / (self.mlp_ratio * d)))),
                 }
             )
+        c1, c2, c3, c4, c5 = self._enc_channels
         return {
-            # two stride-(patch/2) convs: 3 → d/2 → d
-            "embed1": conv(d // 2, self.in_channels, 7),
-            "embed2": conv(d, d // 2, 7),
+            # encoder: five stride-2 convs, 3008 → 94 positions
+            "enc": [
+                conv(c1, self.in_channels, 7),
+                conv(c2, c1, 5),
+                conv(c3, c2, 5),
+                conv(c4, c3, 3),
+                conv(c5, c4, 3),
+            ],
             "pos": jax.random.normal(next(keys), (self.n_tokens, d), jnp.float32) * 0.02,
             "blocks": blocks,
             "ln_f": ln(),
-            # decoder: two 4× upsampling transposed convs (stored OIK flipped)
-            "up1": conv(d // 2, d, 8),
-            "up2": conv(d // 4, d // 2, 8),
-            "out": conv(self.classes, d // 4, 7),
+            # decoder: five ×2 polyphase upsample-convs mirroring the encoder,
+            # with additive skips from the four intermediate encoder stages
+            "dec": [
+                conv(c4, d, 3),
+                conv(c3, c4, 3),
+                conv(c2, c3, 3),
+                conv(c1, c2, 3),
+                conv(d // 8, c1, 3),
+            ],
+            "out": conv(self.classes, d // 8, 7),
         }
 
     # ---- forward --------------------------------------------------------------
@@ -121,33 +177,30 @@ class TPUPickNet:
     ):
         """x: (B, 3, in_samples) → (B, classes, in_samples) probabilities.
 
-        `attn` selects the attention implementation: "xla" (einsum scores in
-        HBM) or "pallas" (ops/pallas/attention.py — one window's whole
-        attention fused in VMEM, no HBM score tensor). Default: the env knob
-        `VOLPICK_TPN_ATTN`, else "pallas" on a TPU backend ("classify_chunks"
-        sweep, docs/TPU_PROBE.jsonl r4: fused classify 36.8k vs 18.3k
-        windows/s at the per-chunk optimum — the VMEM kernel doubles the
-        end-to-end rate) and "xla" elsewhere (CPU tests would pay interpret
-        mode; equality is pinned by tests/test_pallas.py). Inference-only;
-        train mode always uses the XLA path (it is differentiable and the
-        bound there is the backward pass, not score traffic).
+        `attn` selects the attention implementation: "xla" (einsum scores) or
+        "pallas" (ops/pallas/attention.py — one window's whole attention fused
+        in VMEM). Default: resolve_attn() — "xla" (measured faster at v2's
+        pooled T=94; see resolve_attn). Equality is pinned by
+        tests/test_pallas.py. Training always uses the XLA path (it is
+        differentiable and the bound there is the backward pass).
         """
         if attn is None:
-            attn = os.environ.get("VOLPICK_TPN_ATTN", "").strip().lower() or (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
-            )
+            attn = self.resolve_attn()
         if attn not in ("xla", "pallas"):
             raise ValueError(f"unknown attn implementation: {attn!r}")
         if train:
             attn = "xla"
         b = x.shape[0]
         d = self.d_model
-        s = self.patch_stride
-        half = s // 2  # stride per embedding conv (8 = 4 × 2? use 4 then 2)
 
-        h = conv1d(x, params["embed1"]["w"], params["embed1"]["b"], stride=4, padding=(3, 3))
-        h = jax.nn.gelu(h)
-        h = conv1d(h, params["embed2"]["w"], params["embed2"]["b"], stride=2, padding=(3, 3))
+        # encoder: five stride-2 stages; keep post-gelu activations as skips
+        enc_kpad = ((7, 3), (5, 2), (5, 2), (3, 1), (3, 1))
+        skips = []
+        h = x
+        for p, (k, pad) in zip(params["enc"], enc_kpad):
+            h = jax.nn.gelu(conv1d(h, p["w"], p["b"], stride=2, padding=(pad, pad)))
+            skips.append(h)
+
         # (B, D, T) → (B, T, D)
         h = h.transpose(0, 2, 1) + params["pos"][None]
 
@@ -180,17 +233,17 @@ class TPUPickNet:
 
         h = _layer_norm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         h = h.transpose(0, 2, 1)  # (B, D, T)
-        # decoder: 4× then 2× transposed convs back to full resolution
-        h = jax.nn.gelu(
-            conv_transpose1d(h, params["up1"]["w"], stride=4, k=8, padding=2)
-            + params["up1"]["b"][None, :, None]
-        )
-        h = jax.nn.gelu(
-            conv_transpose1d(h, params["up2"]["w"], stride=2, k=8, padding=3)
-            + params["up2"]["b"][None, :, None]
-        )
+
+        # decoder: ×2 polyphase upsample-convs; additive skip at each of the
+        # four intermediate encoder resolutions (onset sharpness comes from
+        # the high-res conv features, not token resolution)
+        for i, p in enumerate(params["dec"]):
+            h = upsample2_conv1d_same(h, p["w"], p["b"])
+            skip_i = len(skips) - 2 - i  # 188, 376, 752, 1504 resolutions
+            if skip_i >= 0:
+                h = h + skips[skip_i]
+            h = jax.nn.gelu(h)
         h = conv1d_same(h, params["out"]["w"], params["out"]["b"])
-        h = h[..., : self.in_samples]
         if not logits:
             h = jax.nn.softmax(h, axis=1)
         if train:

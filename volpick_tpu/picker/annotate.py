@@ -75,6 +75,12 @@ class WaveformPicker:
         # multi-chip inference: shard the station axis of classify_arrays over
         # a Mesh(('data',)); params replicate, collectives ride ICI
         self.mesh = mesh
+        # freeze backend-sensitive model knobs NOW (e.g. TPUPickNet's attn
+        # implementation): compiled programs are cached in self._jitted, so a
+        # post-construction env-var change must not silently disagree with an
+        # already-compiled executable; a mesh-sharded program pins "xla"
+        if hasattr(model, "resolve_attn"):
+            model.attn = model.resolve_attn(sharded=mesh is not None)
         self._jitted: Dict = {}
 
     # ------------------------------------------------------------------ utils
@@ -96,12 +102,12 @@ class WaveformPicker:
 
     def _default_batch_size(self) -> int:
         """Per-architecture forward-chunk optimum for the fused scan
-        ("classify_chunks" sweeps, docs/TPU_PROBE.jsonl): EQTransformer
-        109.1k windows/s at 256 (98.7k at 512), TPUPickNet 36.8k at 64
-        vs 27.0k at 256 (whole-window attention scales quadratically with
-        chunked sequence count, so smaller forwards pipeline better).
-        An explicit `batch_size` always wins."""
-        return 64 if self.model.name == "TPUPickNet" else 256
+        ("classify_chunks" sweeps, docs/TPU_PROBE.jsonl). Dispatches on the
+        model-level `default_classify_batch` attribute (models that need a
+        non-256 chunk declare it; subclasses inherit it) with 256 — the
+        EQTransformer/PhaseNet optimum — as the fallback. An explicit
+        `batch_size` always wins."""
+        return int(getattr(self.model, "default_classify_batch", 256))
 
     def _apply_model(self, params, frames: jnp.ndarray) -> jnp.ndarray:
         """Conditioned (N, C, window) windows → (N, K, window) float32 probs,
