@@ -159,29 +159,77 @@ def _stochastic_wavelet(rng, n: int, sr: float, onset_s: float, f0: float,
     return (x / max(peak, 1e-12)).astype(np.float32)
 
 
-def _hard_event(rng, n: int, sr: float, p: int, s: int, lp: bool) -> np.ndarray:
+# Default physics of the hard benchmark (local volcanic mix). Every range is
+# overridable through the `domain` dict so a SECOND, differently-parameterized
+# domain can be generated for zero-shot cross-domain evaluation — the offline
+# analogue of the reference's INSTANCE/STEAD/western-US studies (reference
+# `model_training/test_INSTANCE.ipynb`, `Performance_vs_freq_vs_snr/
+# FI_test_westernus`). Overriding bounds does NOT change the rng call order,
+# so the default domain reproduces the committed benchmark bit-exactly.
+DEFAULT_DOMAIN = {
+    "lp_f0": (0.7, 5.5),       # log-uniform P corner (Hz), LP events
+    "vt_f0": (3.5, 16.0),      # log-uniform P corner (Hz), VT events
+    "lp_bw": (0.10, 0.40),     # relative bandwidth
+    "vt_bw": (0.25, 0.70),
+    "lp_rise": (0.15, 2.0),    # log-uniform onset rise (s)
+    "vt_rise": (0.03, 0.5),
+    "lp_decay": (2.0, 12.0),   # coda decay (s)
+    "vt_decay": (0.8, 5.0),
+    "f0s_factor": (0.55, 0.80),  # S corner as a fraction of P's
+    "s_over_p": (1.2, 3.5),    # S/P amplitude ratio
+    "sp_seconds": (0.8, 12.0),  # S-P time (s)
+    "noise_alpha": (0.5, 1.6),  # PSD slope of the colored background
+    "microseism": (0.0, 4.0),   # microseism bump strength
+    "hum_prob": 0.25,           # probability of a cultural hum line
+}
+
+# A shifted-physics domain: regional tectonic-style seismicity — corners
+# shifted up, broader VT bands, faster rises/shorter codas, longer S-P times
+# (larger epicentral distance), steeper noise with stronger microseism and
+# more cultural hum, and an LP-minority population. Used by
+# scripts/run_crossdomain_study.py for the zero-shot leg.
+SHIFTED_DOMAIN = {
+    "lp_f0": (1.5, 8.0),
+    "vt_f0": (6.0, 24.0),
+    "lp_bw": (0.15, 0.50),
+    "vt_bw": (0.35, 0.90),
+    "lp_rise": (0.08, 1.0),
+    "vt_rise": (0.02, 0.25),
+    "lp_decay": (1.0, 6.0),
+    "vt_decay": (0.5, 2.5),
+    "f0s_factor": (0.45, 0.70),
+    "s_over_p": (1.5, 5.0),
+    "sp_seconds": (3.0, 20.0),
+    "noise_alpha": (1.2, 2.4),
+    "microseism": (1.0, 6.0),
+    "hum_prob": 0.5,
+}
+
+
+def _hard_event(rng, n: int, sr: float, p: int, s: int, lp: bool,
+                dom: dict = DEFAULT_DOMAIN) -> np.ndarray:
     """Event-only 3-component signal (unit-scale; caller scales to target SNR).
 
-    LP: low corner (0.7-5.5 Hz, log-uniform), narrow band, emergent onsets
-    (rise up to 2 s), long coda. VT: higher corner (3.5-16 Hz) but overlapping
-    LP's range at the low end, broader band, mostly impulsive. P is
-    Z-dominant, S is horizontal-dominant at ~0.55-0.8x the P corner.
+    LP: low corner (log-uniform), narrow band, emergent onsets, long coda.
+    VT: higher corner but overlapping LP's range at the low end, broader
+    band, mostly impulsive. P is Z-dominant, S is horizontal-dominant at a
+    fraction of the P corner. All bounds come from `dom` (see DEFAULT_DOMAIN).
     """
     tp, ts = p / sr, s / sr
     if lp:
-        f0p = np.exp(rng.uniform(np.log(0.7), np.log(5.5)))
-        bw = rng.uniform(0.10, 0.40)
-        rise_p = np.exp(rng.uniform(np.log(0.15), np.log(2.0)))
-        decay = rng.uniform(2.0, 12.0)
+        f0p = np.exp(rng.uniform(*np.log(dom["lp_f0"])))
+        bw = rng.uniform(*dom["lp_bw"])
+        rise_p = np.exp(rng.uniform(*np.log(dom["lp_rise"])))
+        decay = rng.uniform(*dom["lp_decay"])
     else:
-        f0p = np.exp(rng.uniform(np.log(3.5), np.log(16.0)))
-        bw = rng.uniform(0.25, 0.70)
-        rise_p = np.exp(rng.uniform(np.log(0.03), np.log(0.5)))
-        decay = rng.uniform(0.8, 5.0)
-    f0s = f0p * rng.uniform(0.55, 0.80)
+        f0p = np.exp(rng.uniform(*np.log(dom["vt_f0"])))
+        bw = rng.uniform(*dom["vt_bw"])
+        rise_p = np.exp(rng.uniform(*np.log(dom["vt_rise"])))
+        decay = rng.uniform(*dom["vt_decay"])
+    f0s = f0p * rng.uniform(*dom["f0s_factor"])
     rise_s = rise_p * rng.uniform(1.0, 2.0)
     decay_s = decay * rng.uniform(1.2, 2.0)
-    s_over_p = rng.uniform(1.2, 3.5)  # S usually larger
+    s_over_p = rng.uniform(*dom["s_over_p"])  # S usually larger
 
     data = np.zeros((3, n), dtype=np.float32)
     # independent wavelet realizations per component (incoherent coda)
@@ -217,6 +265,7 @@ def make_hard_synthetic_dataset(
     snr_range_db=(-5.0, 40.0),
     second_event_prob: float = 0.12,
     lp_fraction: float = 0.4,
+    domain: dict = None,
 ) -> Path:
     """Write the HARD graded-difficulty benchmark; returns the dataset dir.
 
@@ -230,6 +279,7 @@ def make_hard_synthetic_dataset(
     """
     from volpick_tpu.acquisition.convert import _snr_db_numpy
 
+    dom = dict(DEFAULT_DOMAIN, **(domain or {}))
     dest_dir = Path(dest_dir)
     dest_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -259,9 +309,9 @@ def make_hard_synthetic_dataset(
                 "split": split,
             }
             # colored background noise, always
-            alpha = rng.uniform(0.5, 1.6)
-            micro = rng.uniform(0.0, 4.0)
-            hum_f = rng.uniform(1.5, 9.0) if rng.random() < 0.25 else 0.0
+            alpha = rng.uniform(*dom["noise_alpha"])
+            micro = rng.uniform(*dom["microseism"])
+            hum_f = rng.uniform(1.5, 9.0) if rng.random() < dom["hum_prob"] else 0.0
             hum_a = rng.uniform(0.1, 0.6) if hum_f else 0.0
             noise = _shaped_noise(rng, n_samples, sr, alpha, micro, hum_f, hum_a)
             noise *= np.exp(rng.uniform(np.log(0.2), np.log(50.0)))  # absolute scale varies
@@ -296,9 +346,9 @@ def make_hard_synthetic_dataset(
 
             lp = md["source_type"] == "lp"
             p = int(rng.uniform(0.20, 0.55) * n_samples)
-            s = p + int(rng.uniform(0.8, 12.0) * sr)
+            s = p + int(rng.uniform(*dom["sp_seconds"]) * sr)
             s = min(s, int(0.92 * n_samples))
-            event = _hard_event(rng, n_samples, sr, p, s, lp)
+            event = _hard_event(rng, n_samples, sr, p, s, lp, dom)
 
             # calibrate to the target SNR under the reference P95 definition:
             # gain such that mean-dB of P95(S window of event)/P95(pre-P noise)
@@ -316,7 +366,7 @@ def make_hard_synthetic_dataset(
             if rng.random() < second_event_prob and s + int(4 * sr) < n_samples - int(8 * sr):
                 p2 = s + int(rng.uniform(3.0, min(14.0, (n_samples - s) / sr - 6.0)) * sr)
                 s2 = min(p2 + int(rng.uniform(0.8, 8.0) * sr), n_samples - 10)
-                ev2 = _hard_event(rng, n_samples, sr, p2, s2, rng.random() < lp_fraction)
+                ev2 = _hard_event(rng, n_samples, sr, p2, s2, rng.random() < lp_fraction, dom)
                 data = data + ev2 * gain * rng.uniform(0.3, 1.5)
 
             if rng.random() < 0.15:  # spikes on event traces too
