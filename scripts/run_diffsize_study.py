@@ -31,7 +31,7 @@ import pandas as pd
 
 from run_eval_benchmark import fmt_table  # noqa: E402
 
-FRACTIONS = (0.05, 0.1, 0.25, 0.5, 1.0)
+FRACTIONS = (0.05, 0.1, 0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
 
 
 def main():
@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--eval-dir", default="/tmp/volpick_hard_eval_out")
     ap.add_argument("--save-dir", default="/tmp/volpick_diffsize")
     ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--match-steps", action="store_true",
+                    help="scale each leg's epoch budget by 1/effective-"
+                         "fraction (capped by --epoch-cap) so every leg gets "
+                         "the SAME number of optimizer steps; the fixed-epoch "
+                         "protocol starves small fractions of steps (a "
+                         "fraction-0.05 leg sees 20x fewer gradients), which "
+                         "is what flattened the r4 curve below 0.5")
+    ap.add_argument("--epoch-cap", type=int, default=3200)
     ap.add_argument("--train-fraction", type=float, default=None,
                     help="train ONE leg at this fraction, then exit")
     ap.add_argument("--cpu", action="store_true")
@@ -84,6 +92,8 @@ def main():
             print(f"repacked {data_dir} -> {fine_dir} ({n} buckets)", flush=True)
         data_dir = fine_dir
         args.save_dir = f"{args.save_dir}_b{args.rebucket}"
+    if args.match_steps:
+        args.save_dir = f"{args.save_dir}_ms"
 
     def cfg(frac):
         return {
@@ -99,20 +109,6 @@ def main():
             "save_dir": args.save_dir,
             "resume": True,
         }
-
-    if args.train_fraction is not None:
-        frac = args.train_fraction
-        exp = f"phasenet_frac{frac:g}"
-        t0 = time.perf_counter()
-        out = train(cfg(frac), experiment_name=exp)
-        print(json.dumps({exp: {"epochs": len(out["history"]),
-                                "train_s": round(time.perf_counter() - t0, 1)}}),
-              flush=True)
-        return
-
-    dataset = load_dataset(data_dir)
-    if not args.report_only:
-        dataset.preload_waveforms()
 
     # effective fraction actually trained on: block subsampling keeps whole
     # HDF5 buckets (reference-exact, train.py:335-359), so on a coarse-packed
@@ -135,6 +131,29 @@ def main():
         apply_training_fraction(frac, sub)
         kept = sub.metadata["trace_name"].astype(str).str.split("$").str[0].nunique()
         return kept, len(sub), round(len(sub) / n_total, 4)
+
+    def leg_epochs(frac):
+        if not args.match_steps:
+            return args.epochs
+        _, _, eff = effective(frac)
+        return min(int(round(args.epochs / max(eff, 1e-6))), args.epoch_cap)
+
+    if args.train_fraction is not None:
+        frac = args.train_fraction
+        exp = f"phasenet_frac{frac:g}"
+        c = cfg(frac)
+        c["trainer_args"]["max_epochs"] = leg_epochs(frac)
+        t0 = time.perf_counter()
+        out = train(c, experiment_name=exp)
+        print(json.dumps({exp: {"epochs": len(out["history"]),
+                                "max_epochs": c["trainer_args"]["max_epochs"],
+                                "train_s": round(time.perf_counter() - t0, 1)}}),
+              flush=True)
+        return
+
+    dataset = load_dataset(data_dir)
+    if not args.report_only:
+        dataset.preload_waveforms()
 
     rows, timings = [], {}
     for frac in FRACTIONS:
@@ -180,11 +199,22 @@ def main():
         marker = "## Fine-bucket re-run"
         base = doc.read_text() if doc.exists() else "# DIFFSIZE\n"
         base = base.split(marker)[0].rstrip() + "\n"
+        budget_note = (
+            f"MATCHED-STEP budget: each leg trains ~{args.epochs}/eff_fraction "
+            f"epochs (cap {args.epoch_cap}) so every point gets the same "
+            "number of optimizer steps — the fixed-150-epoch protocol gave a "
+            "fraction-0.05 leg 20x fewer gradient steps, which floored the "
+            "r4 curve below fraction 0.5 (VERDICT r4 weak #5); epochs-seen "
+            "per leg is in the `epochs` column"
+            if args.match_steps else
+            f"Same recipe and fixed {args.epochs}-epoch budget"
+        )
         lines = [
             base,
-            f"{marker} (`--rebucket {args.rebucket}`)",
+            f"{marker} (`--rebucket {args.rebucket}"
+            + ("` + `--match-steps`)" if args.match_steps else "`)"),
             "",
-            f"Same recipe and budget on the content-identical repack "
+            f"{budget_note}, on the content-identical repack "
             f"({n_blocks_total} train buckets of ≤{args.rebucket} traces, "
             "`data.assemble.repack_dataset`) so every requested fraction "
             "selects a distinct bucket subset:",
