@@ -83,11 +83,17 @@ def main():
 
         _, s_gt = get_ground_truth(dataset, targets)
         truth = np.array([g[0] if len(g) else np.nan for g in s_gt])
+        # keep only windows whose 30 s task0 window actually contains the S
+        # label (the eval protocol's recall denominator works the same way)
+        tkeep = np.isfinite(truth)
+        targets_m = targets[tkeep].reset_index(drop=True)
+        truth = truth[tkeep]
+        src_m = src_type[tkeep]
 
         runner = _SteeredRunner(model, params, batch_size=64)
-        curves_a, borders = runner.prob_curves(dataset, targets)
-        w0s = targets["start_sample"].to_numpy() - borders[:, 0]
-        xs, w0s_c = steered_numpy(dataset, targets, window, model.norm)
+        curves_a, borders = runner.prob_curves(dataset, targets_m)
+        w0s = targets_m["start_sample"].to_numpy() - borders[:, 0]
+        xs, w0s_c = steered_numpy(dataset, targets_m, window, model.norm)
         curves_c = torch_curves(arch, xs)
 
         def classify_misses(curves, w0):
@@ -111,13 +117,14 @@ def main():
         hc, sc, mc, peak_c = classify_misses(curves_c, w0s_c)
         both_missed = (set(sa) | set(ma)) & (set(sc) | set(mc))
         missed_a = set(sa) | set(ma)
-        lp_mask = src_type == "lp"
+        lp_mask = src_m == "lp"
         rec_lp_a = np.mean([i in ha for i in np.where(lp_mask)[0]]) if lp_mask.any() else np.nan
         rec_rg_a = np.mean([i in ha for i in np.where(~lp_mask)[0]]) if (~lp_mask).any() else np.nan
         report[arch] = {
             "s_threshold": thr,
-            "ours_near_truth_recall": round(len(ha) / len(targets), 4),
-            "torch_near_truth_recall": round(len(hc) / len(targets), 4),
+            "n_s_in_window": int(len(targets_m)),
+            "ours_near_truth_recall": round(len(ha) / len(targets_m), 4),
+            "torch_near_truth_recall": round(len(hc) / len(targets_m), 4),
             "ours_sub_threshold_misses": len(sa),
             "ours_mislocated_misses": len(ma),
             "torch_sub_threshold_misses": len(sc),

@@ -912,14 +912,18 @@ def stage_scan_breakdown():
                     fr = frame_windows_uniform(sp, wpc, STRIDE, WINDOW)
                     fr2 = fr.reshape(wpc * S, C, WINDOW)
                     if mode == "frame":
-                        return carry + jnp.sum(fr2[..., ::997]), None
+                        # FULL reduction: the r4 strided-sample probe let XLA
+                        # dead-code-skip most framing/conditioning work
+                        # (caveat lines above); a full sum forces every
+                        # element to be computed
+                        return carry + jnp.sum(fr2), None
                     fr2 = cond(fr2)
                     if mode == "condition":
-                        return carry + jnp.sum(fr2[..., ::997]), None
+                        return carry + jnp.sum(fr2), None
                     pr = fwd(fr2).reshape(wpc, S, 3, WINDOW)
                     wmask = ((i * wpc + jnp.arange(wpc)) < N).astype(pr.dtype)
                     pr = pr * wmask[:, None, None, None]
-                    return carry + jnp.sum(pr[..., ::997]), None
+                    return carry + jnp.sum(pr), None
 
                 out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(n_steps))
                 return out
