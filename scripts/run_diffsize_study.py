@@ -142,7 +142,12 @@ def main():
         frac = args.train_fraction
         exp = f"phasenet_frac{frac:g}"
         c = cfg(frac)
-        c["trainer_args"]["max_epochs"] = leg_epochs(frac)
+        n_ep = leg_epochs(frac)
+        c["trainer_args"]["max_epochs"] = n_ep
+        # matched-step legs inflate epochs up to epoch_cap; validate at a
+        # fixed ~args.epochs cadence so wall time tracks optimizer steps, not
+        # the per-epoch val loop (trainer check_val_every_n_epoch)
+        c["trainer_args"]["check_val_every_n_epoch"] = max(1, n_ep // args.epochs)
         t0 = time.perf_counter()
         out = train(c, experiment_name=exp)
         print(json.dumps({exp: {"epochs": len(out["history"]),

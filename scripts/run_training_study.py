@@ -47,8 +47,9 @@ def classify_throughput(model, params, overlap, precision="float32"):
     total = data.shape[-1]
     starts = window_starts(total, window, overlap)
     thr = tuple(0.3 for _ in picker._prob_channels())
+    chunk = picker._default_batch_size()  # per-arch classify optimum
     run = picker._fused_classify_fn(
-        8, len(starts), total, (0, 0), "avg", thr, 64, 256,
+        8, len(starts), total, (0, 0), "avg", thr, 64, chunk,
         stride=window - overlap,
         flush_start=int(starts[-1]) if int(starts[-1]) != (len(starts) - 1) * (window - overlap) else None,
     )
@@ -77,7 +78,7 @@ def classify_throughput(model, params, overlap, precision="float32"):
     ta = min(t(la) for _ in range(2))
     tb = min(t(lb) for _ in range(2))
     per_iter = max(tb - ta, 1e-9) / 20
-    return 8 * len(starts) / per_iter
+    return 8 * len(starts) / per_iter, chunk
 
 
 def main():
@@ -219,9 +220,10 @@ def main():
         if not args.no_speed:
             overlap = model.in_samples - 500  # stride 500 for all, like the bench
             t0 = time.perf_counter()
-            wps = classify_throughput(model, params, overlap)
+            wps, chunk = classify_throughput(model, params, overlap)
             speed_rows.append({"model": arch, "window": model.in_samples,
-                               "stride": 500, "classify_windows_per_s": round(wps, 1)})
+                               "stride": 500, "chunk": chunk,
+                               "classify_windows_per_s": round(wps, 1)})
             timings[f"{exp}_speed_s"] = round(time.perf_counter() - t0, 1)
             print(f"{exp}: {wps:.0f} windows/s", flush=True)
 

@@ -226,6 +226,36 @@ class TestTraining:
         kept = sorted(p.name for p in d.glob("epoch=*.ckpt"))
         assert kept == ["epoch=4-step=50-EMA.ckpt", "epoch=4-step=50.ckpt"]
 
+    def test_check_val_every_n_epoch(self, synth_path, tmp_path):
+        """Lightning `check_val_every_n_epoch` semantics: validation runs on
+        every Nth epoch plus the final one; skipped epochs log val_loss=nan
+        and never touch best-checkpoint selection or the plateau schedule
+        (matched-step study legs at thousands of 1-step epochs would
+        otherwise spend their wall time in the per-epoch val loop)."""
+        config = {
+            "model": "PhaseNet",
+            "model_args": {"lr": 2e-3, "sigma": 20},
+            "data": str(synth_path),
+            "batch_size": 16,
+            "trainer_args": {"max_epochs": 5, "check_val_every_n_epoch": 3},
+            "stack_data": False,
+            "warmup_steps": 4,
+            "save_dir": str(tmp_path / "weights"),
+        }
+        result = train(config, experiment_name="valcadence")
+        hist = result["history"]
+        # epochs 0..4: val on epoch 2 ((2+1)%3==0) and on the final epoch 4
+        val_epochs = [h["epoch"] for h in hist if math.isfinite(h["val_loss"])]
+        assert val_epochs == [2, 4]
+        # best checkpoint exists and was selected from a validated epoch
+        assert result["best_checkpoint"] != "None"
+        from volpick_tpu.train.checkpoints import load_checkpoint
+
+        raw = load_checkpoint(
+            os.path.join(result["exp_dir"], "checkpoints", "last.ckpt")
+        )
+        assert raw["best_monitor"] is not None and math.isfinite(raw["best_monitor"])
+
     def test_checkpoint_roundtrip(self, synth_path, tmp_path):
         from volpick_tpu.train.checkpoints import load_checkpoint, save_checkpoint
         from volpick_tpu.models import PhaseNet

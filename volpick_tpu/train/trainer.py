@@ -281,6 +281,7 @@ class Trainer:
         experiment: str = "exp",
         early_stop: bool = False,
         log_every: int = 5,
+        check_val_every_n_epoch: int = 1,
         checkpoint_every_n_steps: Optional[int] = None,
         hparams: Optional[dict] = None,
         tensorboard: bool = True,
@@ -347,8 +348,17 @@ class Trainer:
 
             # --- validation (eval-mode forward; EMA weights when enabled,
             # mirroring the reference's swap_ema_weights around validation)
+            # Lightning `check_val_every_n_epoch` semantics: validate every
+            # Nth epoch (and always on the final one, so the run ends with a
+            # fresh monitored value). Skipped epochs log val_loss=nan; the
+            # checkpoint/plateau/early-stop paths already ignore nan, so best
+            # selection and LR scheduling simply run at the val cadence.
+            # Matched-step study legs at thousands of 1-step epochs would
+            # otherwise spend most of their wall time in per-epoch validation.
+            run_val = (epoch + 1) % max(int(check_val_every_n_epoch), 1) == 0 \
+                or epoch == max_epochs - 1
             val_loss = math.nan
-            if dev_gen is not None:
+            if dev_gen is not None and run_val:
                 eval_params = ema_params if ema_params is not None else params
                 vlosses = [
                     float(self._eval_step(eval_params, jax.device_put(b, self.batch_sharding)))
@@ -580,6 +590,9 @@ def train(config: Dict, experiment_name: str = "exp", test_run: bool = False) ->
         train_gen,
         dev_gen,
         max_epochs=int(config.get("trainer_args", {}).get("max_epochs", 100)),
+        check_val_every_n_epoch=int(
+            config.get("trainer_args", {}).get("check_val_every_n_epoch", 1)
+        ),
         save_dir=config.get("save_dir", "weights"),
         experiment=experiment_name,
         early_stop=bool(config.get("early_stop", False)),
