@@ -50,6 +50,27 @@ class TestSignal:
         for i in range(2):
             np.testing.assert_allclose(y[i].std(), 1.0, rtol=1e-3)
 
+    def test_condition_windows_from_span_matches_per_window(self, rng):
+        """Span conditioning (stats via one strided conv of the raw span) must
+        equal the per-window composition frame → detrend/demean → peak/std
+        norm — the fused-classify default rides on this equality."""
+        from volpick_tpu.ops.signal import condition_windows_from_span
+        from volpick_tpu.ops.windows import frame_windows_uniform
+
+        stride, window, n_win = 40, 120, 7
+        span = (n_win - 1) * stride + window
+        # offset + trend so detrend/demean actually do work
+        x = (rng.normal(size=(2, 3, span)) * 3 + 50
+             + np.linspace(0, 7, span)).astype(np.float32)
+        for detrend, norm in ((True, "peak"), (False, "peak"), (True, "std")):
+            fr = frame_windows_uniform(jnp.asarray(x), n_win, stride, window)
+            ref = detrend_linear(fr) if detrend else demean(fr)
+            ref = np.asarray(normalize_amplitude(ref, norm, per_channel=True))
+            got = np.asarray(condition_windows_from_span(
+                jnp.asarray(x), n_win, stride, window,
+                detrend=detrend, norm=norm))
+            np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"{detrend},{norm}")
+
     def test_sosfilt_matches_scipy_x64(self, rng):
         from scipy.signal import sosfilt as scipy_sosfilt
         import jax

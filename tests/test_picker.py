@@ -100,6 +100,28 @@ class TestPhaseNetClassify:
             best = max(pp, key=lambda p: p.peak_value)
             assert abs(best.peak_time.timestamp - (t0.timestamp + p_at)) < 1.0
 
+    def test_span_conditioning_matches_per_window_path(self, picker, rng):
+        """The span-conditioning default of the uniform fused scan (stats via
+        one strided conv, `condition_windows_from_span`) must reproduce the
+        per-window conditioning path: identical pick sets, curves equal to
+        float tolerance (VERDICT r4 item 2: conditioning fused into the scan
+        body's framing arithmetic)."""
+        from volpick_tpu.picker import WaveformPicker
+
+        st, t0 = synth_event_stream(rng, p_at=40.0, s_at=43.0)
+        p_off = WaveformPicker(picker.model, picker.params, span_conditioning=False)
+        assert picker.span_conditioning  # default ON
+        ann_on = picker.annotate(st, overlap=2500, blinding=(500, 500))
+        ann_off = p_off.annotate(st, overlap=2500, blinding=(500, 500))
+        for tr_on, tr_off in zip(ann_on, ann_off):
+            assert tr_on.stats.channel == tr_off.stats.channel
+            np.testing.assert_allclose(tr_on.data, tr_off.data, atol=1e-4)
+        out_on = picker.classify(st, overlap=2500, blinding=(500, 500))
+        out_off = p_off.classify(st, overlap=2500, blinding=(500, 500))
+        assert [(p.phase, p.peak_time.timestamp) for p in out_on.picks] == [
+            (p.phase, p.peak_time.timestamp) for p in out_off.picks
+        ]
+
     def test_gappy_stream_picks_both_segments(self, picker, rng):
         """A station with two disjoint segments (a recording gap) classifies
         in one call: the segments land at their correct absolute offsets in

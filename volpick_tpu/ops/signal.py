@@ -95,6 +95,67 @@ def normalize(
     return normalize_amplitude(x, norm=norm, eps=eps)
 
 
+def condition_windows_from_span(
+    sp: jnp.ndarray,
+    n_win: int,
+    stride: int,
+    window: int,
+    detrend: bool = False,
+    norm: str = "peak",
+    per_channel: bool = True,
+    eps: float = EPS,
+) -> jnp.ndarray:
+    """Per-window conditioning computed from the UN-expanded span.
+
+    Equivalent to
+    ``normalize_amplitude(detrend[or demean](frame_windows_uniform(sp, ...)))``
+    but the per-window mean and LS slope come from ONE strided convolution of
+    the raw span (kernels: ones/W and t/var_t; with centered t, sum(t)=0 makes
+    the slope independent of the mean), so the conditioning statistics never
+    re-read the ~ceil(window/stride)x-expanded frames. Inside the fused
+    classify scan this removes the expanded-tensor reduction passes that the
+    per-window path pays (the reference conditions each window independently
+    inside DataLoader workers, `volpick/model/models.py:259-264` /
+    SeisBench Normalize; behavior here is identical up to conv accumulation
+    order, ~1e-6).
+
+    sp: (..., C, span) → (n_win, ..., C, window) conditioned frames.
+    """
+    from volpick_tpu.ops.windows import frame_windows_uniform
+
+    t = jnp.arange(window, dtype=sp.dtype) - (window - 1) / 2.0
+    var_t = jnp.sum(t * t)
+    # one conv, two stat kernels: out0 = window mean, out1 = LS slope
+    k_mean = jnp.full((window,), 1.0 / window, dtype=sp.dtype)
+    kernels = [k_mean]
+    if detrend:
+        kernels.append(t / var_t)
+    rhs = jnp.stack(kernels, axis=0)[:, None, :]  # (O, I=1, window)
+    lead = sp.shape[:-1]
+    flat = sp.reshape((-1, 1, sp.shape[-1]))  # (B, 1, span)
+    stats = jax.lax.conv_general_dilated(
+        flat, rhs, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,  # stats subtract from the data;
+        # default (possibly bf16) conv precision would inject ~1e-3 error
+    )[..., :n_win]  # (B, O, n_win)
+    stats = stats.reshape(lead + stats.shape[1:])  # (..., C, O, n_win)
+    mean = jnp.moveaxis(stats[..., 0, :], -1, 0)[..., None]  # (N, ..., C, 1)
+    fr = frame_windows_uniform(sp, n_win, stride, window)  # (N, ..., C, window)
+    det = fr - mean
+    if detrend:
+        slope = jnp.moveaxis(stats[..., 1, :], -1, 0)[..., None]
+        det = det - slope * t
+    reduce_axes = (-1,) if per_channel else (-2, -1)
+    if norm == "peak":
+        scale = jnp.max(jnp.abs(det), axis=reduce_axes, keepdims=True)
+    elif norm == "std":
+        scale = jnp.std(det, axis=reduce_axes, keepdims=True)
+    else:
+        raise ValueError(f"unknown norm {norm!r}")
+    return det / (scale + eps)
+
+
 def taper_cosine(x: jnp.ndarray, fraction: float = 0.05, axis: int = -1) -> jnp.ndarray:
     """Symmetric cosine (Tukey) taper, used before filtering long segments."""
     w = x.shape[axis]

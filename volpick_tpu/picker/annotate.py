@@ -25,6 +25,7 @@ reuse a single executable.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -56,6 +57,7 @@ class WaveformPicker:
         use_pallas: bool = False,
         precision: str = "float32",
         mesh=None,
+        span_conditioning: Optional[bool] = None,
     ):
         self.model = model
         self.params = params
@@ -65,6 +67,16 @@ class WaveformPicker:
         # fused Pallas conditioning kernel (TPU only; XLA's fusion is already
         # close, the kernel saves one HBM pass on large window batches)
         self.use_pallas = use_pallas
+        # span conditioning: inside the uniform fused scan, compute per-window
+        # mean/LS-slope as ONE strided conv of the un-expanded span
+        # (ops/signal.py condition_windows_from_span) instead of reducing over
+        # the ~12x-expanded frames. Identical result up to conv accumulation
+        # order (equality pinned in tests). Frozen at construction like the
+        # other backend knobs; VOLPICK_SPAN_COND=0/1 overrides the default.
+        if span_conditioning is None:
+            env = os.environ.get("VOLPICK_SPAN_COND", "").strip()
+            span_conditioning = env != "0" if env else True
+        self.span_conditioning = bool(span_conditioning)
         # precision="bfloat16" runs the forward pass in bf16 (~1.6× on the
         # MXU); probability curves return as float32. Pick times shift by at
         # most a sample or two on smooth curves — use float32 for benchmark
@@ -221,12 +233,27 @@ class WaveformPicker:
                 local_len = (wpc + m - 1) * stride
                 acc_len = max((n_steps * wpc + m - 1) * stride, total)
 
+                # span conditioning (see __init__): per-window stats from one
+                # strided conv of the raw span instead of reductions over the
+                # expanded frames; disabled under use_pallas (that path
+                # conditions inside its own kernel)
+                span_cond = self.span_conditioning and not self.use_pallas
+
                 def step(acc, i):
                     sp = jax.lax.dynamic_slice_in_dim(
                         datap, i * (wpc * stride), span, axis=-1
                     )  # (S, C, span)
-                    fr = frame_windows_uniform(sp, wpc, stride, window)
-                    pr = fwd(fr.reshape(wpc * s, c, window))
+                    if span_cond:
+                        from volpick_tpu.ops.signal import condition_windows_from_span
+
+                        fr = condition_windows_from_span(
+                            sp, wpc, stride, window,
+                            detrend=self.detrend, norm=self.model.norm,
+                        )
+                        pr = self._apply_model(params, fr.reshape(wpc * s, c, window))
+                    else:
+                        fr = frame_windows_uniform(sp, wpc, stride, window)
+                        pr = fwd(fr.reshape(wpc * s, c, window))
                     pr = pr.reshape(wpc, s, k_ch, window)
                     # zero the padded window indices of the final step
                     # (their static stacking weight is zero too)
