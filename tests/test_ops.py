@@ -57,11 +57,18 @@ class TestSignal:
         from volpick_tpu.ops.signal import condition_windows_from_span
         from volpick_tpu.ops.windows import frame_windows_uniform
 
-        stride, window, n_win = 40, 120, 7
-        span = (n_win - 1) * stride + window
-        # offset + trend so detrend/demean actually do work
-        x = (rng.normal(size=(2, 3, span)) * 3 + 50
-             + np.linspace(0, 7, span)).astype(np.float32)
+        # stride | window exercises the block-sum fast path; 130 the conv path
+        for stride, window, n_win in ((40, 120, 7), (40, 130, 6)):
+            span = (n_win - 1) * stride + window
+            # offset + trend so detrend/demean actually do work
+            x = (rng.normal(size=(2, 3, span)) * 3 + 50
+                 + np.linspace(0, 7, span)).astype(np.float32)
+            self._check(x, stride, window, n_win)
+
+    def _check(self, x, stride, window, n_win):
+        from volpick_tpu.ops.signal import condition_windows_from_span
+        from volpick_tpu.ops.windows import frame_windows_uniform
+
         for detrend, norm in ((True, "peak"), (False, "peak"), (True, "std")):
             fr = frame_windows_uniform(jnp.asarray(x), n_win, stride, window)
             ref = detrend_linear(fr) if detrend else demean(fr)

@@ -109,10 +109,12 @@ def condition_windows_from_span(
 
     Equivalent to
     ``normalize_amplitude(detrend[or demean](frame_windows_uniform(sp, ...)))``
-    but the per-window mean and LS slope come from ONE strided convolution of
-    the raw span (kernels: ones/W and t/var_t; with centered t, sum(t)=0 makes
-    the slope independent of the mean), so the conditioning statistics never
-    re-read the ~ceil(window/stride)x-expanded frames. Inside the fused
+    but the per-window mean and LS slope come from the UN-expanded span: via
+    per-stride-block partial sums when stride divides the window (the EQT
+    6000/500 fused-classify case), else via one strided convolution (kernels
+    ones/W and t/var_t; with centered t, sum(t)=0 makes the slope independent
+    of the mean). Either way the conditioning statistics never re-read the
+    ~ceil(window/stride)x-expanded frames. Inside the fused
     classify scan this removes the expanded-tensor reduction passes that the
     per-window path pays (the reference conditions each window independently
     inside DataLoader workers, `volpick/model/models.py:259-264` /
@@ -125,21 +127,53 @@ def condition_windows_from_span(
 
     t = jnp.arange(window, dtype=sp.dtype) - (window - 1) / 2.0
     var_t = jnp.sum(t * t)
-    # one conv, two stat kernels: out0 = window mean, out1 = LS slope
-    k_mean = jnp.full((window,), 1.0 / window, dtype=sp.dtype)
-    kernels = [k_mean]
-    if detrend:
-        kernels.append(t / var_t)
-    rhs = jnp.stack(kernels, axis=0)[:, None, :]  # (O, I=1, window)
-    lead = sp.shape[:-1]
-    flat = sp.reshape((-1, 1, sp.shape[-1]))  # (B, 1, span)
-    stats = jax.lax.conv_general_dilated(
-        flat, rhs, window_strides=(stride,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,  # stats subtract from the data;
-        # default (possibly bf16) conv precision would inject ~1e-3 error
-    )[..., :n_win]  # (B, O, n_win)
-    stats = stats.reshape(lead + stats.shape[1:])  # (..., C, O, n_win)
+    if window % stride == 0:
+        # Fast path (EQT: 6000/500): window i covers stride-blocks [i, i+m)
+        # exactly, so both stats reduce over per-block partial sums of the
+        # span — O(span) VPU work with no wide-kernel conv. Numerics: the
+        # slope numerator's partial sums reach ~stride*window*|x| before the
+        # centered coordinates cancel, but slope divides by var_t ~ W^3/12,
+        # shrinking the accumulation error below 1e-8 of the signal.
+        m = window // stride
+        lead = sp.shape[:-1]
+        T = sp.shape[-1]
+        nb = -(-T // stride)
+        need = max(nb, n_win - 1 + m) * stride
+        spp = jnp.pad(sp, [(0, 0)] * (sp.ndim - 1) + [(0, need - T)]) if need > T else sp
+        xb = spp.reshape(lead + (-1, stride))  # (..., C, nb, stride)
+        bs = jnp.sum(xb, axis=-1)  # block sums
+        sums = sum(
+            jax.lax.slice_in_dim(bs, k, k + n_win, axis=-1) for k in range(m)
+        )  # (..., C, n_win)
+        stats_list = [sums / window]
+        if detrend:
+            l = jnp.arange(stride, dtype=sp.dtype)
+            bt = jnp.sum(xb * l, axis=-1)  # block first moments (local l)
+            c = (window - 1) / 2.0
+            num = sum(
+                jax.lax.slice_in_dim(bt, k, k + n_win, axis=-1)
+                + (k * stride - c) * jax.lax.slice_in_dim(bs, k, k + n_win, axis=-1)
+                for k in range(m)
+            )
+            stats_list.append(num / var_t)
+        stats = jnp.stack(stats_list, axis=-2)  # (..., C, O, n_win)
+    else:
+        # General path: one conv, two stat kernels (out0 = window mean,
+        # out1 = LS slope; centered t makes the slope mean-independent)
+        k_mean = jnp.full((window,), 1.0 / window, dtype=sp.dtype)
+        kernels = [k_mean]
+        if detrend:
+            kernels.append(t / var_t)
+        rhs = jnp.stack(kernels, axis=0)[:, None, :]  # (O, I=1, window)
+        lead = sp.shape[:-1]
+        flat = sp.reshape((-1, 1, sp.shape[-1]))  # (B, 1, span)
+        stats = jax.lax.conv_general_dilated(
+            flat, rhs, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,  # stats subtract from the
+            # data; default (possibly bf16) conv precision would inject ~1e-3
+        )[..., :n_win]  # (B, O, n_win)
+        stats = stats.reshape(lead + stats.shape[1:])  # (..., C, O, n_win)
     mean = jnp.moveaxis(stats[..., 0, :], -1, 0)[..., None]  # (N, ..., C, 1)
     fr = frame_windows_uniform(sp, n_win, stride, window)  # (N, ..., C, window)
     det = fr - mean

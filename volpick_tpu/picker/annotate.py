@@ -222,6 +222,12 @@ class WaveformPicker:
                 m = max(-(-window // stride), 1)
                 wpc = max(1, chunk // s)  # window indices per scan step
                 n_steps = -(-n_uni // wpc)
+                # balance the steps: with n_steps fixed, shrink wpc to
+                # ceil(n_uni/n_steps) so the last step's zero-masked padding
+                # windows mostly disappear (chunk 256 on the 8x229-window
+                # bench workload computed 2048 windows for 1832 useful, a
+                # 10.5% pure waste; balanced wpc=29 computes 1856)
+                wpc = max(1, -(-n_uni // n_steps))
                 span = (wpc - 1) * stride + window
                 need = (n_steps - 1) * wpc * stride + span
                 total_in = data.shape[-1]
