@@ -117,6 +117,24 @@ class TestCounting:
         res2 = bootstrap_f1(truth, pred, n_boot=500, seed=1)
         assert res2 == res
 
+    def test_pick_list_cell_parsing_tolerates_numpy2_reprs(self):
+        """{set}_task0.csv pick cells written before the writer coerced to
+        python floats look like "[np.float64(3355.0)]" (numpy-2 scalar
+        reprs); bootstrap_f1_from_artifacts must parse both formats — the
+        fallback exists for artifacts already on disk."""
+        import ast
+        import re
+
+        clean = re.compile(r"np\.\w+")
+        for raw, want in (
+            ("[3355.0, 12.5]", [3355.0, 12.5]),
+            ("[np.float64(3355.0)]", [3355.0]),
+            ("[np.float64(1.0), np.float32(2.5)]", [1.0, 2.5]),
+            ("[]", []),
+        ):
+            got = list(np.asarray(ast.literal_eval(clean.sub("", raw)), dtype=float))
+            assert got == want, (raw, got)
+
 
 @needs_weights
 class TestEndToEnd:

@@ -413,8 +413,10 @@ def eval_task0(
                             "trace_name": chunk.iloc[i]["trace_name"],
                             "trace_idx": chunk.iloc[i]["trace_idx"],
                             "prob_threshold": thr,
-                            "p_picks": list(np.asarray(p_pred[i], dtype=float)),
-                            "s_picks": list(np.asarray(s_pred[i], dtype=float)),
+                            # plain python floats: numpy-2 scalar reprs
+                            # ("np.float64(x)") are not literal_eval-able
+                            "p_picks": [float(x) for x in np.asarray(p_pred[i])],
+                            "s_picks": [float(x) for x in np.asarray(s_pred[i])],
                         }
                     )
         rows = []
@@ -536,6 +538,7 @@ def bootstrap_f1_from_artifacts(output_dir, dataset, targets_path, set_name: str
     artifacts: ground truth from the dataset + task0 targets, predictions from
     `{set}_task0.csv` at the given threshold."""
     import ast
+    import re
 
     output_dir = Path(output_dir)
     targets = pd.read_csv(Path(targets_path) / "task0.csv")
@@ -544,9 +547,13 @@ def bootstrap_f1_from_artifacts(output_dir, dataset, targets_path, set_name: str
     gt = p_gt if phase == "p" else s_gt
     picks = pd.read_csv(output_dir / f"{set_name}_task0.csv")
     picks = picks[np.isclose(picks["prob_threshold"], threshold)]
+    # rows are "[x, y]" (current writer) or "[np.float64(x)]" (numpy-2 scalar
+    # reprs, artifacts written before the writer coerced to python floats) —
+    # reduce the latter to parenthesized numbers, then literal_eval
+    clean = re.compile(r"np\.\w+")
     by_name = {
         (r["trace_name"], int(r["trace_idx"])): np.asarray(
-            ast.literal_eval(r[f"{phase}_picks"]), dtype=float
+            ast.literal_eval(clean.sub("", str(r[f"{phase}_picks"]))), dtype=float
         )
         for _, r in picks.iterrows()
     }
