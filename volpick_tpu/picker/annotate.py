@@ -239,11 +239,15 @@ class WaveformPicker:
                 local_len = (wpc + m - 1) * stride
                 acc_len = max((n_steps * wpc + m - 1) * stride, total)
 
-                # span conditioning (see __init__): per-window stats from one
-                # strided conv of the raw span instead of reductions over the
-                # expanded frames; disabled under use_pallas (that path
-                # conditions inside its own kernel)
-                span_cond = self.span_conditioning and not self.use_pallas
+                # span conditioning (see __init__): per-window stats from
+                # stride-block partial sums of the raw span instead of
+                # reductions over the expanded frames. ONLY when stride
+                # divides the window (EQT 6000/500) — the general strided-conv
+                # stats path measured 85k vs 127k windows/s on EQT and 332k vs
+                # 503k on PhaseNet (3001-tap HIGHEST conv; TPU_PROBE bench_ab)
+                # — and not under use_pallas (that path conditions in-kernel)
+                span_cond = (self.span_conditioning and not self.use_pallas
+                             and window % stride == 0)
 
                 def step(acc, i):
                     sp = jax.lax.dynamic_slice_in_dim(
