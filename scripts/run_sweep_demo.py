@@ -29,6 +29,25 @@ import pandas as pd
 from run_eval_benchmark import fmt_table  # noqa: E402
 
 
+def _separation_note(summary) -> str:
+    """Which adjacent dev-F1 ranks are separated beyond their bootstrap CIs
+    (generated so a re-run cannot orphan the interpretation)."""
+    rows = summary.to_dict("records")
+
+    def ci(r):
+        lo, hi = r["dev_p_ci95"].strip("[]").split(",")
+        return float(lo), float(hi)
+
+    parts = []
+    for a, b in zip(rows, rows[1:]):
+        sep = ci(b)[1] < ci(a)[0]  # next rank's hi below this rank's lo
+        parts.append(
+            f"rank {rows.index(a)+1} vs {rows.index(a)+2}: "
+            + ("SEPARATED" if sep else "within CI overlap")
+        )
+    return ("Adjacent-rank separation at these CIs: " + "; ".join(parts) + ".")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="/tmp/volpick_hard_benchmark")
@@ -167,6 +186,8 @@ def main():
         "A rank separation is REAL only where the dev CIs do not overlap; "
         "the CI columns exist so the reader can check that instead of "
         "trusting the point ordering.",
+        "",
+        _separation_note(summary),
         "",
         f"Wall times: train {train_s}s for {len(paths)} configs, eval {eval_s}s.",
         "",
