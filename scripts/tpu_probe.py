@@ -688,7 +688,7 @@ def stage_classify_chunks(arch: str = "eqtransformer", precision: str = "float32
 
     # tpupicknet's (B,H,T,T) score tensor makes big chunks HBM-hostile on
     # the XLA attention path; sweep smaller chunks for it
-    chunks = (64, 128, 256, 512) if arch == "tpupicknet" else (256, 512, 1024, 2048)
+    chunks = (64, 128, 256, 512) if arch == "tpupicknet" else (128, 256, 512, 1024)
     for chunk in chunks:
         run = picker._fused_classify_fn(
             8, len(starts), total, (0, 0), "avg", thr, 64, chunk,
